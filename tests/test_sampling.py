@@ -1,0 +1,75 @@
+"""Parity tests: grid_sample / resize vs torch CPU (the reference's ops)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from simplerecon_tpu.ops import sampling
+
+
+def _torch_grid_sample(img_bchw, grid_bhw2, mode):
+    with torch.no_grad():
+        return F.grid_sample(torch.from_numpy(img_bchw),
+                             torch.from_numpy(grid_bhw2),
+                             mode=mode, padding_mode="zeros",
+                             align_corners=False).numpy()
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_grid_sample_matches_torch(rng, mode):
+    b, c, h, w = 2, 5, 9, 13
+    ho, wo = 7, 11
+    img = rng.randn(b, c, h, w).astype(np.float32)
+    # grid spans beyond [-1, 1] to exercise zeros padding
+    grid = rng.uniform(-1.4, 1.4, (b, ho, wo, 2)).astype(np.float32)
+
+    want = _torch_grid_sample(img, grid, mode)  # (b, c, ho, wo)
+
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    got = np.asarray(sampling.grid_sample_2d(img_nhwc, jnp.asarray(grid),
+                                             mode=mode))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-6)
+
+
+def test_grid_sample_exact_centers(rng):
+    """Sampling at exact pixel centers returns the pixel values."""
+    b, c, h, w = 1, 3, 4, 6
+    img = rng.randn(b, c, h, w).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    gx = (2 * (xs + 0.5) / w - 1).astype(np.float32)
+    gy = (2 * (ys + 0.5) / h - 1).astype(np.float32)
+    grid = np.stack([gx, gy], axis=-1)[None]
+    got = np.asarray(sampling.grid_sample_2d(
+        jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(grid)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), img, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape_out", [(8, 12), (17, 23), (3, 5)])
+def test_resize_nearest_matches_torch(rng, shape_out):
+    img = rng.randn(2, 3, 6, 10).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(img), size=shape_out,
+                         mode="nearest").numpy()
+    got = np.asarray(sampling.resize_nearest(
+        jnp.asarray(img.transpose(0, 2, 3, 1)), *shape_out))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=0)
+
+
+@pytest.mark.parametrize("shape_out", [(12, 20), (5, 7), (13, 9)])
+def test_resize_bilinear_matches_torch(rng, shape_out):
+    img = rng.randn(2, 3, 6, 10).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(img), size=shape_out,
+                         mode="bilinear", align_corners=False).numpy()
+    got = np.asarray(sampling.resize_bilinear(
+        jnp.asarray(img.transpose(0, 2, 3, 1)), *shape_out))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-6)
+
+
+def test_upsample2x_matches_torch(rng):
+    img = rng.randn(1, 4, 8, 8).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(img), scale_factor=2,
+                         mode="bilinear", align_corners=False).numpy()
+    got = np.asarray(sampling.upsample2x(
+        jnp.asarray(img.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-6)
