@@ -1,0 +1,224 @@
+"""Cost / feature volume modules (Flax).
+
+Two reducers over the plane-sweep warp, mirroring the reference's
+`CostVolumeManager` (dot-product, `modules/cost_volume.py:13-380`) and
+`FeatureVolumeManager` (metadata MLP — the "hero" component,
+`modules/cost_volume.py:383-746`):
+
+  * `DotProductCostVolume` — sum over views of (warped src . ref) feature
+    dot products, masked by source-depth validity.
+  * `MLPFeatureVolume` — per (pixel, plane), an MLP reduces the warped
+    visual features plus geometric metadata (validity mask, projected
+    depths, plane depth, dot products, ray angles, rays, pose-distance
+    penalties) to a matching score.
+
+TPU design notes: all planes are swept in one batched gather (the
+reference's "fast" path) but chunked over planes inside the module with
+optional rematerialization, so the (b, k, d, N, c) warp stack and the
+(b, d, N, 202) MLP input never live in HBM at full size — the reference's
+fast path pays 5.7 GB for exactly that materialization. The MLP's matmuls
+run on the MXU in the compute dtype; all projection geometry stays fp32.
+
+The metadata channel ORDER matches `modules/cost_volume.py:709-723`
+exactly so converted reference weights remain valid:
+  [src feats (k*c, view-major) | ref feats (c)] mask(k) depths(k) plane(1)
+  dot(k) ray_angle(k) [ref ray (3) | src rays (k*3)] penalty(k) R(k) t(k)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from simplerecon_tpu.models.layers import MLP
+from simplerecon_tpu.ops import cost_volume as cv_ops
+from simplerecon_tpu.ops import geometry as geo
+
+
+def mlp_input_channels(matching_dim_size: int, num_source_views: int) -> int:
+    """Input width of the metadata MLP (`modules/cost_volume.py:419-435`).
+    16 ch x 8 views + metadata = 202 for the hero config."""
+    k = num_source_views
+    return (matching_dim_size * (1 + k)  # visual
+            + (1 + k)                    # projected depths + plane depth
+            + 3 * (1 + k)                # rays
+            + k                          # ray angles
+            + k                          # masks
+            + k                          # dot products
+            + 3 * k)                     # pose penalty, R, t
+
+
+class _VolumeOutputs(Tuple):
+    pass
+
+
+class DotProductCostVolume(nn.Module):
+    """Masked dot-product reduction summed over source views
+    (`modules/cost_volume.py:237-335`)."""
+    num_depth_bins: int = 64
+    min_depth: float = 0.25
+    max_depth: float = 5.0
+
+    @nn.compact
+    def __call__(self, cur_feats_bhwc, src_feats_bkhwc, src_extrinsics_bk44,
+                 src_poses_bk44, src_Ks_bk44, cur_invK_b44,
+                 return_mask: bool = False):
+        b, h, w, c = cur_feats_bhwc.shape
+        planes_bd = cv_ops.generate_depth_planes(
+            b, self.num_depth_bins, self.min_depth, self.max_depth)
+
+        warp = cv_ops.sweep_warp(src_feats_bkhwc, src_extrinsics_bk44,
+                                 src_Ks_bk44, cur_invK_b44, planes_bd)
+        cur_bNc = cur_feats_bhwc.reshape(b, h * w, c)
+        dot_bkdN = jnp.einsum("bkdnc,bnc->bkdn", warp.sampled_bkdNc, cur_bNc)
+        volume_bdN = jnp.sum(dot_bkdN * warp.mask_bkdN, axis=1)
+        volume_bhwd = volume_bdN.transpose(0, 2, 1).reshape(
+            b, h, w, self.num_depth_bins)
+
+        lowest = cv_ops.lowest_cost_depth(
+            jax.lax.stop_gradient(volume_bhwd), planes_bd)
+        overall = (cv_ops.overall_source_mask(warp, h, w).reshape(b, h, w)
+                   if return_mask else None)
+        return volume_bhwd, lowest, planes_bd, overall
+
+
+def _metadata_chunk(mlp: MLP, planes_bdc, cur_bNc, src_feats_bkhwc,
+                    src_extrinsics, src_Ks, cur_invK, src_cam_loc_bk3,
+                    pose_penalty_bk3, compute_dtype):
+    """Warp + metadata assembly + MLP for one chunk of depth planes.
+
+    Returns (b, d_chunk, N) scores. Wrapped in nn.remat by the caller so
+    the warp stack is recomputed, not stored, in the backward pass.
+    """
+    b, k = src_feats_bkhwc.shape[:2]
+    c = src_feats_bkhwc.shape[-1]
+    warp = cv_ops.sweep_warp(src_feats_bkhwc, src_extrinsics, src_Ks,
+                             cur_invK, planes_bdc)
+    dc = planes_bdc.shape[1]
+    n = cur_bNc.shape[1]
+
+    # visual features: warped src (view-major) then ref
+    sampled_bdNkc = warp.sampled_bkdNc.transpose(0, 2, 3, 1, 4)
+    visual = jnp.concatenate(
+        [sampled_bdNkc.reshape(b, dc, n, k * c),
+         jnp.broadcast_to(cur_bNc[:, None], (b, dc, n, c))], axis=-1)
+
+    mask_bdNk = warp.mask_bkdN.transpose(0, 2, 3, 1)
+    depths_bdNk = warp.depths_bkdN.transpose(0, 2, 3, 1)
+    plane_bdN1 = jnp.broadcast_to(planes_bdc[:, :, None, None], (b, dc, n, 1))
+
+    dot_bkdN = jnp.einsum("bkdnc,bnc->bkdn", warp.sampled_bkdNc, cur_bNc)
+    dot_bdNk = (dot_bkdN * warp.mask_bkdN).transpose(0, 2, 3, 1)
+
+    # rays: from the reference camera (at origin of the sweep frame) and
+    # from each source camera center to the plane points (fp32)
+    cur_rays_bdN3 = geo.normalize(warp.world_points_bdN3, axis=-1)
+    src_rays_bkdN3 = geo.normalize(
+        warp.world_points_bdN3[:, None] -
+        src_cam_loc_bk3[:, :, None, None, :], axis=-1)
+    ray_angle_bdNk = geo.cosine_similarity(
+        cur_rays_bdN3[:, None], src_rays_bkdN3, axis=-1, eps=1e-5
+    ).transpose(0, 2, 3, 1)
+    all_rays = jnp.concatenate(
+        [cur_rays_bdN3,
+         src_rays_bkdN3.transpose(0, 2, 3, 1, 4).reshape(b, dc, n, k * 3)],
+        axis=-1)
+
+    pose_meta = jnp.broadcast_to(
+        pose_penalty_bk3.transpose(0, 2, 1).reshape(b, 1, 1, 3 * k),
+        (b, dc, n, 3 * k))  # [penalty(k), R(k), t(k)]
+
+    feats = jnp.concatenate(
+        [visual,
+         mask_bdNk.astype(jnp.float32),
+         depths_bdNk,
+         plane_bdN1,
+         dot_bdNk.astype(jnp.float32),
+         ray_angle_bdNk,
+         all_rays,
+         pose_meta], axis=-1).astype(compute_dtype)
+
+    return mlp(feats)[..., 0].astype(jnp.float32)  # (b, dc, N)
+
+
+class MLPFeatureVolume(nn.Module):
+    """Metadata-MLP feature volume (`modules/cost_volume.py:383-746`)."""
+    num_depth_bins: int = 64
+    min_depth: float = 0.25
+    max_depth: float = 5.0
+    matching_dim_size: int = 16
+    num_source_views: int = 7
+    mlp_hidden: Tuple[int, ...] = (128, 128)
+    plane_chunk: int = 8
+    remat: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        in_ch = mlp_input_channels(self.matching_dim_size,
+                                   self.num_source_views)
+        del in_ch  # implied by the first Dense's input
+        self.mlp = MLP(channel_list=list(self.mlp_hidden) + [1],
+                       disable_final_activation=True, dtype=self.dtype,
+                       name="mlp")
+
+    def __call__(self, cur_feats_bhwc, src_feats_bkhwc, src_extrinsics_bk44,
+                 src_poses_bk44, src_Ks_bk44, cur_invK_b44,
+                 return_mask: bool = False):
+        b, h, w, c = cur_feats_bhwc.shape
+        k = src_feats_bkhwc.shape[1]
+        n = h * w
+        d = self.num_depth_bins
+
+        planes_bd = cv_ops.generate_depth_planes(
+            b, d, self.min_depth, self.max_depth)
+        cur_bNc = cur_feats_bhwc.reshape(b, n, c)
+
+        # pose metadata: DVMVS distance of each source pose w.r.t. the
+        # reference (`modules/cost_volume.py:516-542`), fp32.
+        poses = src_poses_bk44.astype(jnp.float32)
+        penalty, r_meas, t_meas = geo.pose_distance(poses)
+        pose_penalty_bk3 = jnp.stack([penalty, r_meas, t_meas], axis=-1)
+        src_cam_loc_bk3 = poses[..., :3, 3]
+
+        chunk_fn = _metadata_chunk
+        if self.remat:
+            chunk_fn = nn.remat(_metadata_chunk,
+                                static_argnums=(9,))
+
+        chunks = []
+        step = min(self.plane_chunk, d)
+        for s in range(0, d, step):
+            chunks.append(chunk_fn(
+                self.mlp, planes_bd[:, s:s + step], cur_bNc, src_feats_bkhwc,
+                src_extrinsics_bk44, src_Ks_bk44, cur_invK_b44,
+                src_cam_loc_bk3, pose_penalty_bk3, self.dtype))
+        volume_bdN = jnp.concatenate(chunks, axis=1)
+        volume_bhwd = volume_bdN.transpose(0, 2, 1).reshape(b, h, w, d)
+
+        lowest = cv_ops.lowest_cost_depth(
+            jax.lax.stop_gradient(volume_bhwd), planes_bd)
+
+        overall = None
+        if return_mask:
+            # only the farthest plane matters for the source-visibility mask
+            warp_last = cv_ops.sweep_warp(
+                src_feats_bkhwc[..., :1], src_extrinsics_bk44, src_Ks_bk44,
+                cur_invK_b44, planes_bd[:, -1:])
+            overall = cv_ops.overall_source_mask(
+                warp_last, h, w).reshape(b, h, w)
+        return volume_bhwd, lowest, planes_bd, overall
+
+
+def make_cost_volume(feature_volume_type: str, **kwargs):
+    """Factory mirroring the reference's type switch
+    (`experiment_modules/depth_model.py:160-176`)."""
+    if feature_volume_type == "simple_cost_volume":
+        keys = ("num_depth_bins", "min_depth", "max_depth")
+        return DotProductCostVolume(
+            **{k: v for k, v in kwargs.items() if k in keys})
+    if feature_volume_type == "mlp_feature_volume":
+        return MLPFeatureVolume(**kwargs)
+    raise ValueError(f"unknown feature_volume_type {feature_volume_type!r}")

@@ -1,0 +1,120 @@
+"""Plane-sweep warping primitives for the cost/feature volume (pure JAX).
+
+This is the XLA formulation of the reference's hot loop
+(`modules/cost_volume.py:139-234` slow / `:812-964` fast): backproject the
+reference pixel grid at each hypothesis depth, project into every source
+view, and bilinearly sample source features — all views x planes batched
+into a single gather so XLA can fuse and tile it. Geometry runs in fp32
+(the reference keeps pose math in fp32 islands under AMP as well);
+sampling runs in the feature dtype.
+
+Shapes: b batch, k source views, d depth planes (or a chunk of them),
+N = h*w reference pixels, c feature channels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from simplerecon_tpu.ops import geometry as geo
+from simplerecon_tpu.ops.sampling import grid_sample
+
+
+def generate_depth_planes(batch_size: int, num_depth_bins: int,
+                          min_depth, max_depth) -> jnp.ndarray:
+    """Log-spaced depth hypotheses (`modules/cost_volume.py:100-136`).
+
+    Returns (b, d) plane depths, identical for every pixel.
+    """
+    ramp = jnp.linspace(0.0, 1.0, num_depth_bins, dtype=jnp.float32)
+    min_d = jnp.asarray(min_depth, jnp.float32)
+    max_d = jnp.asarray(max_depth, jnp.float32)
+    planes = jnp.exp(jnp.log(min_d) + jnp.log(max_d / min_d) * ramp)
+    return jnp.broadcast_to(planes[None], (batch_size, num_depth_bins))
+
+
+class SweepWarp(NamedTuple):
+    """Per-plane warp products for one chunk of depth planes."""
+    world_points_bdN3: jnp.ndarray   # ref-camera-frame 3D points (fp32)
+    sampled_bkdNc: jnp.ndarray       # warped source features
+    depths_bkdN: jnp.ndarray         # projected depth into each source view
+    mask_bkdN: jnp.ndarray           # depth-validity (z > 0), feature dtype
+    pix_bkdN2: jnp.ndarray           # raw pixel coords in each source view
+
+
+def sweep_warp(src_feats_bkhwc: jnp.ndarray,
+               src_extrinsics_bk44: jnp.ndarray,
+               src_Ks_bk44: jnp.ndarray,
+               cur_invK_b44: jnp.ndarray,
+               depth_planes_bd: jnp.ndarray) -> SweepWarp:
+    """Warps every source view to the reference view at each depth plane.
+
+    Args:
+        src_feats_bkhwc: (b, k, h, w, c) source matching features.
+        src_extrinsics_bk44: (b, k, 4, 4) src_cam_T_cur_cam (fp32).
+        src_Ks_bk44: (b, k, 4, 4) source intrinsics at matching scale.
+        cur_invK_b44: (b, 4, 4) reference inverse intrinsics.
+        depth_planes_bd: (b, d) hypothesis depths (fp32).
+    """
+    b, k, h, w, c = src_feats_bkhwc.shape
+    d = depth_planes_bd.shape[1]
+    n = h * w
+
+    # Backproject the pixel grid at every plane: rays (b, N, 3) scaled by
+    # depth -> (b, d, N, 3) in the reference camera frame ("world" for the
+    # sweep, as in `modules/cost_volume.py:183-185`).
+    grid_N3 = geo.pixel_grid(h, w)
+    rays_bN3 = jnp.einsum("nj,bij->bni", grid_N3,
+                          cur_invK_b44[:, :3, :3].astype(jnp.float32))
+    world_bdN3 = rays_bN3[:, None] * depth_planes_bd[..., None, None]
+
+    # Project into each source view with the safe homogeneous divide.
+    uvz_bkdN3 = geo.project_points(
+        world_bdN3[:, None],
+        src_Ks_bk44[:, :, None].astype(jnp.float32),
+        src_extrinsics_bk44[:, :, None].astype(jnp.float32))
+    pix_bkdN2 = uvz_bkdN3[..., :2]
+    depths_bkdN = uvz_bkdN3[..., 2]
+
+    # Normalize for sampling: x' = 2 * u / w - 1 (half-pixel convention).
+    scale = jnp.asarray([2.0 / w, 2.0 / h], jnp.float32)
+    grid_bkdN2 = pix_bkdN2 * scale - 1.0
+
+    sampled = grid_sample(
+        src_feats_bkhwc.reshape(b * k, h, w, c),
+        grid_bkdN2.reshape(b * k, d * n, 2),
+        mode="bilinear").reshape(b, k, d, n, c)
+
+    mask_bkdN = (depths_bkdN > 0).astype(src_feats_bkhwc.dtype)
+    return SweepWarp(world_bdN3, sampled, depths_bkdN, mask_bkdN, pix_bkdN2)
+
+
+def border_validity_mask(pix_bkN2: jnp.ndarray, height: int, width: int
+                         ) -> jnp.ndarray:
+    """Reference `get_mask`: strictly inside a 2-pixel border
+    (`modules/cost_volume.py:77-97`). Returns bool (b, k, N)."""
+    x, y = pix_bkN2[..., 0], pix_bkN2[..., 1]
+    return (x > 2) & (x < width - 2) & (y > 2) & (y < height - 2)
+
+
+def overall_source_mask(warp_last_plane: SweepWarp, height: int, width: int
+                        ) -> jnp.ndarray:
+    """True where ANY source view contributes valid information at the
+    farthest plane (`modules/cost_volume.py:1079-1084`). Returns (b, N)."""
+    depth_mask = jnp.any(warp_last_plane.mask_bkdN[:, :, -1] > 0, axis=1)
+    bounds = jnp.any(border_validity_mask(
+        warp_last_plane.pix_bkdN2[:, :, -1], height, width), axis=1)
+    return depth_mask & bounds
+
+
+def lowest_cost_depth(cost_volume_bhwd: jnp.ndarray,
+                      depth_planes_bd: jnp.ndarray) -> jnp.ndarray:
+    """Argmax-likelihood depth from the volume, for visualization and raw
+    fusion (`modules/cost_volume.py:338-342, 373-378`). Returns (b, h, w)."""
+    idx = jnp.argmax(cost_volume_bhwd, axis=-1)
+    return jnp.take_along_axis(depth_planes_bd,
+                               idx.reshape(idx.shape[0], -1),
+                               axis=1).reshape(idx.shape)
