@@ -39,7 +39,10 @@ def scale_invariant_loss(log_depth_gt, log_depth_pred, mask,
     count = jnp.maximum(jnp.sum(mask.astype(diff.dtype)), 1e-10)
     mean_sq = jnp.sum(diff ** 2) / count
     mean = jnp.sum(diff) / count
-    return jnp.sqrt(mean_sq - si_lambda * mean ** 2)
+    # clamped at 0: mean_sq >= mean^2 mathematically, but XLA fusion can
+    # evaluate the difference to -epsilon (same failure mode as
+    # geo.pose_distance)
+    return jnp.sqrt(jnp.maximum(mean_sq - si_lambda * mean ** 2, 0.0))
 
 
 def ms_gradient_loss(depth_gt_bhw, depth_pred_bhw, num_scales: int = 4):
@@ -105,7 +108,10 @@ def mv_depth_loss(depth_pred_bhw, cur_depth_bhw, src_depth_bkhw,
         valid = ((proj_gt < 1.05 * sampled) & (proj_gt > 0) & (sampled > 0))
 
         _, proj_pred = project_depths(depth_pred_bhw, src_K, src_E)
-        diff = jnp.abs(jnp.log(sampled) - jnp.log(proj_pred))
+        # clamp before the logs: even masked-out lanes must stay finite or
+        # their NaNs leak through jnp.where in the backward pass
+        diff = jnp.abs(jnp.log(jnp.maximum(sampled, 1e-6))
+                       - jnp.log(jnp.maximum(proj_pred, 1e-6)))
         ok = valid & jnp.isfinite(diff)
         total = total + masked_mean(jnp.where(ok, diff, 0.0), ok)
     return total / k

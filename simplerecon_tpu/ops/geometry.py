@@ -120,8 +120,10 @@ def project_points(points_bN3: jnp.ndarray, K_b44: jnp.ndarray,
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12
               ) -> jnp.ndarray:
     """L2-normalize matching torch.nn.functional.normalize semantics:
-    v / max(||v||, eps)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    v / max(||v||, eps). The norm is computed with a tiny additive term so
+    its gradient stays finite at v = 0 (jnp.linalg.norm has a NaN gradient
+    there); the value is unchanged because the eps clamp dominates."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=True) + 1e-30)
     return v / jnp.maximum(n, eps)
 
 
@@ -142,7 +144,11 @@ def pose_distance(pose_b44: jnp.ndarray):
     Returns (combined, R_measure, t_measure), each shaped like the batch.
     """
     R_trace = jnp.trace(pose_b44[..., :3, :3], axis1=-2, axis2=-1)
-    R_measure = jnp.sqrt(2.0 * (1.0 - jnp.minimum(3.0, R_trace) / 3.0))
+    # clamp at 0: XLA reassociation can evaluate the bracket to -epsilon
+    # for identity rotations (trace == 3), and sqrt(-eps) poisons the
+    # whole cost volume with NaNs under jit
+    R_measure = jnp.sqrt(jnp.maximum(
+        2.0 * (1.0 - jnp.minimum(3.0, R_trace) / 3.0), 0.0))
     t_measure = jnp.linalg.norm(pose_b44[..., :3, 3], axis=-1)
     combined = jnp.sqrt(t_measure ** 2 + R_measure ** 2)
     return combined, R_measure, t_measure

@@ -1,0 +1,56 @@
+"""Device mesh helpers.
+
+One flat `data` axis covers the reference's whole parallelism story
+(DDP-only, SURVEY.md §2.6). The mesh is still constructed through
+`jax.sharding.Mesh` so extra axes (e.g. a `model` axis for a future
+tensor-parallel cost volume, or a DCN axis for multi-host) slot in without
+touching call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("data",),
+              mesh_shape: Optional[Tuple[int, ...]] = None,
+              devices=None) -> Mesh:
+    """Builds a mesh over the first `num_devices` devices.
+
+    With the default single axis the mesh is 1-D over `data`; for hybrid
+    layouts pass `axis_names` plus a matching `mesh_shape` factorization.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if mesh_shape is None:
+        if len(axis_names) != 1:
+            raise ValueError("multi-axis meshes need an explicit mesh_shape")
+        mesh_shape = (n,)
+    if int(np.prod(mesh_shape)) != n:
+        raise ValueError(f"mesh_shape {mesh_shape} != {n} devices")
+    return Mesh(np.asarray(devices).reshape(mesh_shape), tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Moves a host batch (pytree of arrays) onto the mesh, splitting the
+    leading axis. The global batch size must divide the mesh size."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,198 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+Replaces the reference's Lightning `training_step`/`configure_optimizers`
+(`experiment_modules/depth_model.py:502-633`, `train.py:124-145`):
+
+  * optax AdamW with the reference's piecewise LR drops
+    (x0.1 at 70k, x0.1 again at 80k — `depth_model.py:615-633`).
+  * one jitted SPMD program over a `data`-axis mesh; gradients are
+    reduced by XLA-inserted `psum` when the batch is sharded and the
+    params are replicated (the DDP equivalent, SURVEY.md §2.6).
+  * bf16 compute / fp32 params & optimizer state (the AMP equivalent);
+    pose math and losses stay fp32 inside the model/loss code.
+  * the per-batch horizontal-flip coin and the flip-in/flip-out
+    discipline live inside the step (`depth_model.py:336-341`).
+
+Batch schema (see `make_example_batch`): a `{"cur": ..., "src": ...}` dict
+of arrays following the reference's key naming; GT depth is at s0
+resolution (half the input image), as the reference's dataloader provides.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from simplerecon_tpu import losses as loss_lib
+from simplerecon_tpu.ops import geometry as geo
+from simplerecon_tpu.parallel.mesh import (batch_sharding,
+                                           replicated_sharding)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(opts) -> optax.Schedule:
+    """Stepped LR: x0.1 at each boundary (70k, 80k by default), matching
+    the reference's LambdaLR (`depth_model.py:615-633`)."""
+    return optax.piecewise_constant_schedule(
+        init_value=opts.lr,
+        boundaries_and_scales={int(s): 0.1 for s in opts.lr_steps})
+
+
+def make_optimizer(opts) -> optax.GradientTransformation:
+    return optax.adamw(make_lr_schedule(opts), weight_decay=opts.wd)
+
+
+def make_example_batch(opts, batch_size: int,
+                       dtype=np.float32) -> Dict[str, Dict[str, np.ndarray]]:
+    """A zero-filled batch with the canonical schema/shapes, for shape
+    inference, initialization, and dry runs. Poses/intrinsics are identity
+    so the geometry stays finite."""
+    b = batch_size
+    k = opts.model_num_views - 1
+    h, w = opts.image_height, opts.image_width
+    dh, dw = h // 2, w // 2
+    eye = np.broadcast_to(np.eye(4, dtype=dtype), (b, 4, 4)).copy()
+    eye_k = np.broadcast_to(np.eye(4, dtype=dtype), (b, k, 4, 4)).copy()
+
+    def K_at(scale_h, scale_w, shape):
+        K = np.eye(4, dtype=dtype)
+        K[0, 0] = K[0, 2] = scale_w / 2.0
+        K[1, 1] = K[1, 2] = scale_h / 2.0
+        return np.broadcast_to(K, shape + (4, 4)).copy()
+
+    m = opts.matching_scale
+    mh, mw = h // (2 ** (m + 1)), w // (2 ** (m + 1))
+    invK_s0 = np.broadcast_to(np.linalg.inv(K_at(dh, dw, ())[..., :, :]),
+                              (b, 4, 4)).astype(dtype).copy()
+    invK_m = np.broadcast_to(np.linalg.inv(K_at(mh, mw, ())[..., :, :]),
+                             (b, 4, 4)).astype(dtype).copy()
+    cur = {
+        "image_b3hw": np.zeros((b, 3, h, w), dtype),
+        "depth_bhw": np.ones((b, dh, dw), dtype),
+        "mask_b_bhw": np.ones((b, dh, dw), bool),
+        "invK_s0_b44": invK_s0,
+        f"invK_s{m}_b44": invK_m,
+        "world_T_cam_b44": eye.copy(),
+        "cam_T_world_b44": eye.copy(),
+    }
+    src = {
+        "image_b3hw": np.zeros((b, k, 3, h, w), dtype),
+        "depth_bkhw": np.ones((b, k, dh, dw), dtype),
+        "K_s0_bk44": K_at(dh, dw, (b, k)),
+        f"K_s{m}_b44": K_at(mh, mw, (b, k)),
+        "world_T_cam_b44": eye_k.copy(),
+        "cam_T_world_b44": eye_k.copy(),
+    }
+    return {"cur": cur, "src": src}
+
+
+def init_train_state(model, optimizer, rng,
+                     example_batch) -> TrainState:
+    """Initializes params/batch_stats/optimizer state from a host batch."""
+    batch = jax.tree_util.tree_map(jnp.asarray, example_batch)
+    variables = model.init(rng, batch["cur"], batch["src"], flip=False,
+                           train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats,
+                      opt_state=optimizer.init(params))
+
+
+def _forward_and_losses(model, params, batch_stats, batch, flip, train):
+    cur, src = batch["cur"], batch["src"]
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        outputs, mutated = model.apply(
+            variables, cur, src, flip=flip, train=True,
+            mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        outputs = model.apply(variables, cur, src, flip=flip, train=False)
+        new_stats = batch_stats
+
+    depth_pred_s0 = outputs["depth_pred_s0_bhw1"][..., 0].astype(jnp.float32)
+    invK_s0 = cur["invK_s0_b44"].astype(jnp.float32)
+    # normals from GT (NaNs propagate -> masked in the loss) and prediction,
+    # mirroring the reference's NormalGenerator usage
+    # (`depth_model.py:526-531`).
+    outputs["normals_pred_bhw3"] = geo.normals_from_depth(
+        depth_pred_s0, invK_s0)
+    gt_normals = geo.normals_from_depth(
+        jnp.where(cur["mask_b_bhw"], cur["depth_bhw"], jnp.nan).astype(
+            jnp.float32), invK_s0)
+
+    loss_cur = dict(cur)
+    loss_cur["normals_bhw3"] = gt_normals
+    loss_src = {
+        "depth_bkhw": src["depth_bkhw"],
+        "K_s0_bk44": src["K_s0_bk44"],
+        "cam_T_world_bk44": src["cam_T_world_b44"],
+    }
+    loss_dict = loss_lib.compute_losses(loss_cur, loss_src, outputs)
+    return loss_dict, outputs, new_stats
+
+
+def train_step_fn(model, optimizer) -> Callable:
+    """Returns `step(state, batch, rng) -> (state, metrics)` (un-jitted)."""
+
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        flip = jax.random.bernoulli(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            loss_dict, _, new_stats = _forward_and_losses(
+                model, params, state.batch_stats, batch, flip, train=True)
+            return loss_dict["loss"], (loss_dict, new_stats)
+
+        grads, (loss_dict, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in loss_dict.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        return new_state, metrics
+
+    return step
+
+
+def eval_step_fn(model) -> Callable:
+    """Returns `eval(state, batch) -> (loss_metrics, outputs)` (un-jitted);
+    the reference's `validation_step` (`depth_model.py:611-613`)."""
+
+    def step(state: TrainState, batch):
+        loss_dict, outputs, _ = _forward_and_losses(
+            model, state.params, state.batch_stats, batch,
+            flip=jnp.asarray(False), train=False)
+        return loss_dict, outputs
+
+    return step
+
+
+def make_sharded_train_step(model, optimizer, mesh,
+                            donate: bool = True) -> Callable:
+    """Jits the train step over the mesh: replicated state, batch-sharded
+    data. XLA inserts the gradient `psum` over the `data` axis — the
+    DDP-equivalent collective rides ICI."""
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)  # pytree-prefix: applies to every batch leaf
+    step = train_step_fn(model, optimizer)
+    return jax.jit(
+        step,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else ())

@@ -20,6 +20,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the jitted train step takes minutes to
+# compile on the (single-core) CPU; cache XLA executables across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
