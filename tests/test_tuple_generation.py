@@ -1,0 +1,76 @@
+"""Tuple-generation tests over synthetic pose trajectories."""
+
+import numpy as np
+import pytest
+
+from simplerecon_tpu.data.tuple_generation import (
+    compute_offline_tuple, crawl_subsequences_train, default_dvmvs_tuples,
+    dense_dvmvs_tuples, pad_tuple)
+
+
+def make_trajectory(n=60, step=0.12):
+    """Straight-line walk with `step` m between frames (keyframe distance
+    threshold is 0.1 m, so every frame is a keyframe)."""
+    poses = []
+    for i in range(n):
+        p = np.eye(4)
+        p[0, 3] = i * step
+        poses.append(p)
+    return poses
+
+
+def test_default_tuples_every_keyframe():
+    poses = make_trajectory()
+    samples = default_dvmvs_tuples("scan", poses, [None] * len(poses), 7)
+    # every frame after the first is a keyframe
+    assert len(samples) == len(poses) - 1
+    # references strictly increasing; sources strictly in the past
+    for s in samples:
+        ref = s["indices"][0]
+        assert all(src < ref for src in s["indices"][1:])
+        assert len(set(s["indices"])) == len(s["indices"])
+
+
+def test_default_tuples_respect_buffer_distance():
+    # tiny steps: distance to the LAST KEYFRAME accumulates, so a new
+    # keyframe fires only every ~10 frames (0.1 m / 0.01 m per frame)
+    poses = make_trajectory(n=60, step=0.01)
+    samples = default_dvmvs_tuples("scan", poses, [None] * len(poses), 7)
+    refs = [s["indices"][0] for s in samples]
+    assert len(samples) == 5
+    assert all(b - a >= 10 for a, b in zip(refs, refs[1:]))
+
+
+def test_offline_tuple_uses_both_directions():
+    poses = make_trajectory(n=80)
+    sample = compute_offline_tuple(poses, 7, 40, poses[40].copy())
+    srcs = sample["indices"][1:]
+    assert any(s > 40 for s in srcs), "no future frames picked"
+    assert any(s < 40 for s in srcs), "no past frames picked"
+
+
+def test_dense_tuples_one_per_frame():
+    poses = make_trajectory(n=40)
+    samples = dense_dvmvs_tuples("scan", poses, 7)
+    assert len(samples) == len(poses) - 1  # all but frame 0
+
+
+def test_pad_tuple():
+    import random
+    random.seed(0)
+    padded = pad_tuple([10, 9, 8], 8)
+    assert len(padded) == 8
+    assert padded[:3] == [10, 9, 8]
+    # short history: repeats allowed from sources only
+    padded2 = pad_tuple([1, 0], 8)
+    assert len(padded2) == 8
+    assert padded2[0] == 1
+
+
+def test_train_chains_valid_pairwise_distance():
+    poses = make_trajectory(n=100, step=0.2)  # within [0.125, 0.325]
+    chains = crawl_subsequences_train(poses, subsequence_length=8)
+    assert len(chains) > 0
+    for chain in chains:
+        assert len(chain) == 8
+        assert len(set(chain)) == 8
