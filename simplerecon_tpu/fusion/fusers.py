@@ -1,0 +1,91 @@
+"""Fuser façade (`tools/fusers_helper.py:11-216`).
+
+`get_fuser(opts, scan_bounds)` returns a `DepthFuser` with the common
+`fuse_frames(depths, K, cam_T_world, color)` / `export_mesh(path)` /
+`get_mesh()` API. The reference offered "ours" (paper TSDF, GT-mesh
+bounds) and an Open3D scalable volume; here both map onto the JAX TSDF —
+color integration is supported natively instead of via Open3D.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from simplerecon_tpu.fusion.tsdf import TSDF, TSDFFuser
+
+
+class DepthFuser:
+    """Common fuser API (`tools/fusers_helper.py:11-57`)."""
+
+    def __init__(self, gt_path: str = "", fusion_resolution: float = 0.04,
+                 max_fusion_depth: float = 3.0, fuse_color: bool = False):
+        self.gt_path = gt_path
+        self.fusion_resolution = fusion_resolution
+        self.max_fusion_depth = max_fusion_depth
+        self.fuse_color = fuse_color
+
+    def fuse_frames(self, depths_b1hw, K_b44, cam_T_world_b44, color_b3hw):
+        raise NotImplementedError
+
+    def export_mesh(self, path: str):
+        raise NotImplementedError
+
+    def get_mesh(self):
+        raise NotImplementedError
+
+
+class OurFuser(DepthFuser):
+    """The paper's TSDF fuser (`tools/fusers_helper.py:60-123`): dense
+    fp16-class grid, bounds from the GT mesh when available."""
+
+    def __init__(self, gt_path: str = "",
+                 fusion_resolution: float = 0.04,
+                 max_fusion_depth: float = 3.0,
+                 fuse_color: bool = False,
+                 bounds_3x2: Optional[np.ndarray] = None):
+        super().__init__(gt_path, fusion_resolution, max_fusion_depth,
+                         fuse_color)
+        if bounds_3x2 is None and gt_path:
+            from simplerecon_tpu.fusion.mesh import read_ply
+            verts, _ = read_ply(gt_path)
+            tsdf = TSDF.from_mesh(verts, fusion_resolution)
+        elif bounds_3x2 is not None:
+            tsdf = TSDF.from_bounds(bounds_3x2, fusion_resolution)
+        else:
+            # the reference's fallback +-10 m box (`tools/tsdf.py:96-100`)
+            tsdf = TSDF.from_bounds(np.array([[-10.0, 10.0]] * 3),
+                                    fusion_resolution)
+        self.fuser = TSDFFuser(tsdf, max_depth=max_fusion_depth)
+
+    def fuse_frames(self, depths_b1hw, K_b44, cam_T_world_b44,
+                    color_b3hw=None):
+        self.fuser.integrate_depth(
+            jnp.asarray(depths_b1hw, jnp.float32),
+            jnp.asarray(cam_T_world_b44, jnp.float32),
+            jnp.asarray(K_b44, jnp.float32))
+
+    def get_mesh(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.fuser.tsdf.to_mesh()
+
+    def export_mesh(self, path: str):
+        from simplerecon_tpu.fusion.mesh import write_ply
+        verts, faces = self.get_mesh()
+        write_ply(path, verts, faces)
+        return path
+
+
+def get_fuser(opts, scan_gt_path: str = "",
+              bounds_3x2: Optional[np.ndarray] = None) -> DepthFuser:
+    """Mirrors `get_fuser` (`tools/fusers_helper.py:188-216`); the
+    `open3d` depth_fuser name maps onto the same JAX TSDF with color."""
+    if opts.depth_fuser in ("ours", "open3d"):
+        return OurFuser(
+            gt_path=scan_gt_path,
+            fusion_resolution=opts.fusion_resolution,
+            max_fusion_depth=opts.fusion_max_depth,
+            fuse_color=opts.fuse_color and opts.depth_fuser == "open3d",
+            bounds_3x2=bounds_3x2)
+    raise ValueError(f"unknown depth fuser {opts.depth_fuser!r}")
