@@ -1,0 +1,47 @@
+"""Per-frame model-output caching.
+
+Counterpart of `utils/generic_utils.py:241-282` (`cache_model_outputs`):
+pickles each frame's predicted depth, intrinsics, pose, and source ids
+under `<cache_dir>/<scan>/<frame_id>.pickle`, consumed by the
+visualization scripts and `visualize_live_meshing --use_precomputed_*`.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def cache_model_outputs(output_path: str, outputs: Dict, cur_data: Dict,
+                        src_data: Dict, batch_size: int,
+                        frame_ids: List[str],
+                        src_frame_ids: Optional[List[List[str]]] = None):
+    os.makedirs(output_path, exist_ok=True)
+    for i in range(batch_size):
+        record = {
+            "depth_pred_s0_b1hw": np.asarray(
+                outputs["depth_pred_s0_bhw1"][i, ..., 0])[None],
+            "K_full_depth_b44": np.asarray(
+                cur_data.get("K_full_depth_b44",
+                             cur_data["K_s0_b44"])[i]),
+            "K_s0_b44": np.asarray(cur_data["K_s0_b44"][i]),
+            "world_T_cam_b44": np.asarray(cur_data["world_T_cam_b44"][i]),
+            "cam_T_world_b44": np.asarray(cur_data["cam_T_world_b44"][i]),
+            "frame_id": frame_ids[i],
+        }
+        if outputs.get("lowest_cost_bhw") is not None:
+            record["lowest_cost_bhw"] = np.asarray(
+                outputs["lowest_cost_bhw"][i])[None]
+        if src_frame_ids is not None:
+            record["src_ids"] = src_frame_ids[i]
+        with open(os.path.join(output_path, f"{frame_ids[i]}.pickle"),
+                  "wb") as f:
+            pickle.dump(record, f)
+
+
+def load_cached_output(output_path: str, frame_id: str) -> Dict:
+    with open(os.path.join(output_path, f"{frame_id}.pickle"), "rb") as f:
+        return pickle.load(f)

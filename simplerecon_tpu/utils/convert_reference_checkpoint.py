@@ -1,0 +1,196 @@
+"""Convert reference (PyTorch Lightning) checkpoints to our Flax params.
+
+The reference stores a Lightning `.ckpt` whose `state_dict` holds the
+torch `DepthModel` weights (`experiment_modules/depth_model.py:68-189`).
+This module maps those tensors onto our Flax module tree so published
+weights can validate the whole stack without retraining.
+
+Conventions:
+  * torch Conv2d (O, I, kH, kW)  -> flax (kH, kW, I, O)
+  * torch depthwise Conv2d (C, 1, kH, kW) -> flax (kH, kW, 1, C)
+  * torch Linear (O, I)          -> flax (I, O)
+  * torch BatchNorm weight/bias/running_mean/running_var ->
+    flax scale/bias + batch_stats mean/var
+
+Covered submodules (torch name -> flax path):
+  matching_model.net.*      -> matching_model/* (antialiased ResNet18 stem)
+  cost_volume.mlp.net.*     -> cost_volume/mlp/dense{0,1,2}
+  cost_volume_net.convs.*   -> cost_volume_net/{ds_conv_i, conv_ia, conv_ib}
+  depth_decoder.convs.*     -> depth_decoder/* (UNet++ grid)
+  encoder.encoder.*         -> encoder/* (timm tf_efficientnetv2_s)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _dw_conv(w):  # (C, 1, kH, kW) -> (kH, kW, 1, C)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _linear(w):
+    return np.ascontiguousarray(np.transpose(w, (1, 0)))
+
+
+def load_torch_state_dict(ckpt_path: str) -> Dict[str, np.ndarray]:
+    """Loads a Lightning .ckpt (or a bare state_dict file) on CPU."""
+    import torch
+    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+class _TreeWriter:
+    """Collects (path tuple -> array) assignments into nested dicts."""
+
+    def __init__(self):
+        self.params: Dict = {}
+        self.batch_stats: Dict = {}
+        self.used = set()
+
+    def put(self, tree: Dict, path: Tuple[str, ...], value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def conv(self, sd, tname, fpath):
+        self.put(self.params, fpath + ("kernel",), _conv(sd[tname]))
+        self.used.add(tname)
+        bias = tname.replace(".weight", ".bias")
+        if bias in sd:
+            self.put(self.params, fpath + ("bias",), sd[bias])
+            self.used.add(bias)
+
+    def linear(self, sd, tprefix, fpath):
+        self.put(self.params, fpath + ("kernel",),
+                 _linear(sd[f"{tprefix}.weight"]))
+        self.put(self.params, fpath + ("bias",), sd[f"{tprefix}.bias"])
+        self.used.update({f"{tprefix}.weight", f"{tprefix}.bias"})
+
+    def bn(self, sd, tprefix, fpath):
+        self.put(self.params, fpath + ("scale",), sd[f"{tprefix}.weight"])
+        self.put(self.params, fpath + ("bias",), sd[f"{tprefix}.bias"])
+        self.put(self.batch_stats, fpath + ("mean",),
+                 sd[f"{tprefix}.running_mean"])
+        self.put(self.batch_stats, fpath + ("var",),
+                 sd[f"{tprefix}.running_var"])
+        self.used.update({f"{tprefix}.weight", f"{tprefix}.bias",
+                          f"{tprefix}.running_mean",
+                          f"{tprefix}.running_var"})
+
+
+def _convert_matching_encoder(sd, w: _TreeWriter):
+    """`ResnetMatchingEncoder.net` (`modules/networks.py:149-202`):
+    [0]=conv1 [1]=bn1 [4]=layer1 [5]=1x1 conv [8]=3x3 conv."""
+    base = ("matching_model",)
+    w.conv(sd, "matching_model.net.0.weight", base + ("conv1",))
+    w.bn(sd, "matching_model.net.1", base + ("bn1",))
+    for b in (0, 1):
+        blk = base + (f"layer1_{b}",)
+        for c in ("conv1", "conv2"):
+            w.conv(sd, f"matching_model.net.4.{b}.{c}.weight", blk + (c,))
+        for bn in ("bn1", "bn2"):
+            w.bn(sd, f"matching_model.net.4.{b}.{bn}", blk + (bn,))
+    w.conv(sd, "matching_model.net.5.weight", base + ("head_conv1",))
+    w.conv(sd, "matching_model.net.8.weight", base + ("head_conv2",))
+
+
+def _convert_mlp(sd, w: _TreeWriter):
+    """`cost_volume.mlp.net` Linear indices 0, 2, 4."""
+    for our, theirs in (("dense0", 0), ("dense1", 2), ("dense2", 4)):
+        w.linear(sd, f"cost_volume.mlp.net.{theirs}",
+                 ("cost_volume", "mlp", our))
+
+
+def _convert_basic_block(sd, w: _TreeWriter, tprefix: str,
+                         fpath: Tuple[str, ...]):
+    """Norm-free BasicBlock (`modules/layers.py:24-85`): conv1, conv2,
+    optional downsample (Sequential index 0 = conv)."""
+    w.conv(sd, f"{tprefix}.conv1.weight", fpath + ("conv1",))
+    w.conv(sd, f"{tprefix}.conv2.weight", fpath + ("conv2",))
+    if f"{tprefix}.downsample.0.weight" in sd:
+        w.conv(sd, f"{tprefix}.downsample.0.weight",
+               fpath + ("downsample_conv",))
+    elif f"{tprefix}.downsample.weight" in sd:
+        w.conv(sd, f"{tprefix}.downsample.weight",
+               fpath + ("downsample_conv",))
+
+
+def _convert_cv_encoder(sd, w: _TreeWriter, num_blocks: int = 4):
+    for i in range(num_blocks):
+        _convert_basic_block(sd, w, f"cost_volume_net.convs.ds_conv_{i}",
+                             ("cost_volume_net", f"ds_conv_{i}"))
+        _convert_basic_block(sd, w, f"cost_volume_net.convs.conv_{i}.0",
+                             ("cost_volume_net", f"conv_{i}a"))
+        _convert_basic_block(sd, w, f"cost_volume_net.convs.conv_{i}.1",
+                             ("cost_volume_net", f"conv_{i}b"))
+
+
+def _convert_decoder(sd, w: _TreeWriter):
+    base = "depth_decoder.convs"
+    for j in range(1, 5):
+        for i in range(4 - j, -1, -1):
+            _convert_basic_block(sd, w, f"{base}.diag_conv_{i + 1}{j - 1}",
+                                 ("depth_decoder",
+                                  f"diag_conv_{i + 1}{j - 1}"))
+            _convert_basic_block(sd, w, f"{base}.right_conv_{i}{j - 1}",
+                                 ("depth_decoder", f"right_conv_{i}{j - 1}"))
+            if i + j != 4:
+                _convert_basic_block(sd, w, f"{base}.up_conv_{i + 1}{j}",
+                                     ("depth_decoder", f"up_conv_{i + 1}{j}"))
+            for k, blk in ((0, "block0"), (1, "block1")):
+                _convert_basic_block(sd, w, f"{base}.in_conv_{i}{j}.{k}",
+                                     ("depth_decoder", f"in_conv_{i}{j}",
+                                      blk))
+    for i in range(4):
+        if f"{base}.output_{i}.0.conv1.weight" in sd:
+            _convert_basic_block(sd, w, f"{base}.output_{i}.0",
+                                 ("depth_decoder", f"output_{i}_block"))
+        w.conv(sd, f"{base}.output_{i}.1.weight",
+               ("depth_decoder", f"output_{i}_conv"))
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray]
+                       ) -> Tuple[Dict, Dict, Dict]:
+    """Converts the non-backbone weights.
+
+    Returns (params, batch_stats, report) — nested dicts matching our
+    module tree plus a report of converted/unconverted torch keys. The
+    EfficientNet image prior is NOT converted here (timm-architecture
+    mapping lands with a pretrained-weight source); merge these trees
+    over a fresh init with `merge_params`.
+    """
+    w = _TreeWriter()
+    _convert_matching_encoder(sd, w)
+    _convert_mlp(sd, w)
+    _convert_cv_encoder(sd, w)
+    _convert_decoder(sd, w)
+    report = {
+        "converted": sorted(w.used),
+        "skipped": sorted(k for k in sd if k not in w.used),
+    }
+    return w.params, w.batch_stats, report
+
+
+def merge_params(base: Dict, overlay: Dict) -> Dict:
+    """Recursively overlays converted tensors onto an init tree, checking
+    shapes."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            if k in out and hasattr(out[k], "shape"):
+                assert tuple(out[k].shape) == tuple(np.shape(v)), \
+                    f"shape mismatch at {k}: {out[k].shape} vs {np.shape(v)}"
+            out[k] = np.asarray(v, dtype=np.float32)
+    return out

@@ -1,0 +1,139 @@
+"""Visualization helpers (host-side numpy + PIL).
+
+Counterpart of `utils/visualization_utils.py`: turbo-colormapped depth
+(`colormap_image`, `:12-72`), percentile-robust depth normalization
+(`utils/generic_utils.py:42-84`), and `quick_viz_export` PNG panels
+(`:84-167`). Video assembly writes PNG frame sequences (+ mp4 via
+cv2.VideoWriter when OpenCV is available — the reference used moviepy).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from simplerecon_tpu.data.io import reverse_imagenet_normalize_np
+
+# Polynomial approximation of the Turbo colormap (Google, public),
+# matching matplotlib's "turbo" to visual accuracy.
+_TURBO_R = (0.13572138, 4.61539260, -42.66032258, 132.13108234,
+            -152.94239396, 59.28637943)
+_TURBO_G = (0.09140261, 2.19418839, 4.84296658, -14.18503333,
+            4.27729857, 2.82956604)
+_TURBO_B = (0.10667330, 12.64194608, -60.58204836, 110.36276771,
+            -89.90310912, 27.34824973)
+
+
+def _poly(x, coeffs):
+    out = np.zeros_like(x)
+    for c in reversed(coeffs):
+        out = out * x + c
+    return out
+
+
+def turbo_colormap(x01: np.ndarray) -> np.ndarray:
+    """Maps values in [0, 1] to RGB in [0, 1], shape (..., 3)."""
+    x = np.clip(x01, 0.0, 1.0)
+    rgb = np.stack([_poly(x, _TURBO_R), _poly(x, _TURBO_G),
+                    _poly(x, _TURBO_B)], axis=-1)
+    return np.clip(rgb, 0.0, 1.0)
+
+
+def normalize_depth_robust(depth_hw: np.ndarray,
+                           robust_percentile: float = 5.0,
+                           mask: Optional[np.ndarray] = None):
+    """Percentile-robust vmin/vmax (`utils/generic_utils.py:42-84`)."""
+    vals = depth_hw[mask] if mask is not None else depth_hw
+    vals = vals[np.isfinite(vals)]
+    if vals.size == 0:
+        return 0.0, 1.0
+    vmin = float(np.percentile(vals, robust_percentile))
+    vmax = float(np.percentile(vals, 100 - robust_percentile))
+    if vmax <= vmin:
+        vmax = vmin + 1e-6
+    return vmin, vmax
+
+
+def colormap_image(depth_hw: np.ndarray, vmin: Optional[float] = None,
+                   vmax: Optional[float] = None,
+                   invalid_color=(0.47, 0.47, 0.47)) -> np.ndarray:
+    """Turbo-colormapped image (h, w, 3) in [0, 1]; NaN/inf pixels get
+    `invalid_color` (`utils/visualization_utils.py:12-72`)."""
+    finite = np.isfinite(depth_hw)
+    if vmin is None or vmax is None:
+        auto_min, auto_max = normalize_depth_robust(depth_hw)
+        vmin = auto_min if vmin is None else vmin
+        vmax = auto_max if vmax is None else vmax
+    x = (np.where(finite, depth_hw, vmin) - vmin) / max(vmax - vmin, 1e-9)
+    rgb = turbo_colormap(x)
+    rgb[~finite] = invalid_color
+    return rgb
+
+
+def save_image(path: str, image01) -> str:
+    arr = np.clip(np.asarray(image01) * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+    return path
+
+
+def quick_viz_export(viz_path: str, outputs: Dict, cur_data: Dict,
+                     batch_ind: int = 0, prefix: str = "") -> List[str]:
+    """Dumps RGB / predicted depth / GT depth PNGs for one element
+    (`utils/visualization_utils.py:84-167`)."""
+    os.makedirs(viz_path, exist_ok=True)
+    written = []
+
+    image = np.asarray(cur_data["image_b3hw"][batch_ind])
+    rgb = reverse_imagenet_normalize_np(image).transpose(1, 2, 0)
+    written.append(save_image(
+        os.path.join(viz_path, f"{prefix}color.png"), rgb))
+
+    depth_pred = np.asarray(outputs["depth_pred_s0_bhw1"][batch_ind, ...,
+                                                          0])
+    gt = None
+    if "full_res_depth_b1hw" in cur_data:
+        gt = np.asarray(cur_data["full_res_depth_b1hw"][batch_ind, 0])
+    elif "depth_b1hw" in cur_data:
+        gt = np.asarray(cur_data["depth_b1hw"][batch_ind, 0])
+
+    # shared vmin/vmax across pred and gt, as the reference does
+    vmin, vmax = normalize_depth_robust(gt if gt is not None
+                                        else depth_pred)
+    written.append(save_image(
+        os.path.join(viz_path, f"{prefix}depth_pred.png"),
+        colormap_image(depth_pred, vmin, vmax)))
+    if gt is not None:
+        written.append(save_image(
+            os.path.join(viz_path, f"{prefix}depth_gt.png"),
+            colormap_image(gt, vmin, vmax)))
+
+    if outputs.get("lowest_cost_bhw") is not None:
+        lc = np.asarray(outputs["lowest_cost_bhw"][batch_ind])
+        written.append(save_image(
+            os.path.join(viz_path, f"{prefix}lowest_cost.png"),
+            colormap_image(lc, vmin, vmax)))
+    return written
+
+
+def write_video(path: str, frames01: List[np.ndarray], fps: int = 30):
+    """mp4 via OpenCV when present; falls back to a PNG sequence."""
+    try:
+        import cv2
+        h, w = frames01[0].shape[:2]
+        writer = cv2.VideoWriter(path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                 (w, h))
+        for f in frames01:
+            bgr = (np.clip(f, 0, 1)[..., ::-1] * 255).astype(np.uint8)
+            writer.write(bgr)
+        writer.release()
+        return path
+    except Exception:
+        base = os.path.splitext(path)[0]
+        os.makedirs(base, exist_ok=True)
+        for i, f in enumerate(frames01):
+            save_image(os.path.join(base, f"{i:06d}.png"), f)
+        return base
