@@ -145,7 +145,15 @@ def _metadata_chunk(mlp: MLP, planes_bdc, cur_bNc, src_feats_bkhwc,
 
 
 class MLPFeatureVolume(nn.Module):
-    """Metadata-MLP feature volume (`modules/cost_volume.py:383-746`)."""
+    """Metadata-MLP feature volume (`modules/cost_volume.py:383-746`).
+
+    `backend="xla"` sweeps planes in chunks with rematerialization (the
+    training path); `backend="pallas"` materializes the full warp once
+    and reduces it with the fused Pallas kernel
+    (`ops/pallas_cv.py`) — the inference analogue of the reference's
+    `--fast_cost_volume` (`test.py:196-198`), but without the 202-ch
+    metadata stack or MLP intermediates ever touching HBM.
+    """
     num_depth_bins: int = 64
     min_depth: float = 0.25
     max_depth: float = 5.0
@@ -154,6 +162,8 @@ class MLPFeatureVolume(nn.Module):
     mlp_hidden: Tuple[int, ...] = (128, 128)
     plane_chunk: int = 8
     remat: bool = True
+    backend: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
+    pallas_tile: int = 512
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -183,19 +193,26 @@ class MLPFeatureVolume(nn.Module):
         pose_penalty_bk3 = jnp.stack([penalty, r_meas, t_meas], axis=-1)
         src_cam_loc_bk3 = poses[..., :3, 3]
 
-        chunk_fn = _metadata_chunk
-        if self.remat:
-            chunk_fn = nn.remat(_metadata_chunk,
-                                static_argnums=(9,))
+        if self.backend.startswith("pallas") and not self.is_initializing():
+            volume_bdN = self._pallas_volume(
+                planes_bd, cur_bNc, src_feats_bkhwc, src_extrinsics_bk44,
+                src_Ks_bk44, cur_invK_b44, src_cam_loc_bk3,
+                pose_penalty_bk3)
+        else:
+            chunk_fn = _metadata_chunk
+            if self.remat:
+                chunk_fn = nn.remat(_metadata_chunk,
+                                    static_argnums=(9,))
 
-        chunks = []
-        step = min(self.plane_chunk, d)
-        for s in range(0, d, step):
-            chunks.append(chunk_fn(
-                self.mlp, planes_bd[:, s:s + step], cur_bNc, src_feats_bkhwc,
-                src_extrinsics_bk44, src_Ks_bk44, cur_invK_b44,
-                src_cam_loc_bk3, pose_penalty_bk3, self.dtype))
-        volume_bdN = jnp.concatenate(chunks, axis=1)
+            chunks = []
+            step = min(self.plane_chunk, d)
+            for s in range(0, d, step):
+                chunks.append(chunk_fn(
+                    self.mlp, planes_bd[:, s:s + step], cur_bNc,
+                    src_feats_bkhwc, src_extrinsics_bk44, src_Ks_bk44,
+                    cur_invK_b44, src_cam_loc_bk3, pose_penalty_bk3,
+                    self.dtype))
+            volume_bdN = jnp.concatenate(chunks, axis=1)
         volume_bhwd = volume_bdN.transpose(0, 2, 1).reshape(b, h, w, d)
 
         lowest = cv_ops.lowest_cost_depth(
@@ -210,6 +227,48 @@ class MLPFeatureVolume(nn.Module):
             overall = cv_ops.overall_source_mask(
                 warp_last, h, w).reshape(b, h, w)
         return volume_bhwd, lowest, planes_bd, overall
+
+    def _pallas_volume(self, planes_bd, cur_bNc, src_feats_bkhwc,
+                       src_extrinsics_bk44, src_Ks_bk44, cur_invK_b44,
+                       src_cam_loc_bk3, pose_penalty_bk3):
+        """Fused-kernel path: one full warp (XLA gather), then the Pallas
+        metadata+MLP reduction with zero HBM intermediates."""
+        from simplerecon_tpu.ops import pallas_cv
+
+        b, k = src_feats_bkhwc.shape[:2]
+        c = src_feats_bkhwc.shape[-1]
+        d = planes_bd.shape[1]
+        n = cur_bNc.shape[1]
+
+        warp = cv_ops.sweep_warp(src_feats_bkhwc, src_extrinsics_bk44,
+                                 src_Ks_bk44, cur_invK_b44, planes_bd)
+        # (b, k, d, N, c) -> (k, b*d*N, c); rows ordered (b, d, N)
+        sampled_kRc = warp.sampled_bkdNc.transpose(1, 0, 2, 3, 4
+                                                   ).reshape(k, b * d * n, c)
+        mask_kR = warp.mask_bkdN.transpose(1, 0, 2, 3).reshape(k, -1)
+        depths_kR = warp.depths_bkdN.transpose(1, 0, 2, 3).reshape(k, -1)
+
+        h_img = src_feats_bkhwc.shape[2]
+        w_img = src_feats_bkhwc.shape[3]
+        grid_N3 = geo.pixel_grid(h_img, w_img)
+        # unnormalized rays: the kernel derives world points (ray * z)
+        # and unit rays from these
+        rays_bN3 = jnp.einsum(
+            "nj,bij->bni", grid_N3,
+            cur_invK_b44[:, :3, :3].astype(jnp.float32))
+
+        p = self.mlp.variables["params"]
+        dtype = self.dtype
+        vol = pallas_cv.fused_feature_volume(
+            sampled_kRc.astype(dtype), mask_kR, depths_kR,
+            cur_bNc.astype(dtype), rays_bN3, planes_bd,
+            pose_penalty_bk3, src_cam_loc_bk3,
+            p["dense0"]["kernel"].astype(dtype), p["dense0"]["bias"],
+            p["dense1"]["kernel"].astype(dtype), p["dense1"]["bias"],
+            p["dense2"]["kernel"].astype(dtype), p["dense2"]["bias"],
+            tile=min(self.pallas_tile, n),
+            interpret=self.backend == "pallas_interpret")
+        return vol.reshape(b, d, n)
 
 
 def make_cost_volume(feature_volume_type: str, **kwargs):

@@ -33,7 +33,8 @@ from simplerecon_tpu.models.cost_volume import (DotProductCostVolume,
                                                 MLPFeatureVolume)
 from simplerecon_tpu.models.decoders import CVEncoder, DepthDecoderPP
 from simplerecon_tpu.models.efficientnet import EfficientNetV2Features
-from simplerecon_tpu.models.matching_encoder import ResnetMatchingEncoder
+from simplerecon_tpu.models.matching_encoder import (ResnetMatchingEncoder,
+                                                     UNetMatchingEncoder)
 
 
 def _flip_w(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -59,16 +60,25 @@ class DepthModel(nn.Module):
     matching_feature_dims: int = 16
     model_num_views: int = 8
     feature_volume_type: str = "mlp_feature_volume"
+    matching_encoder_type: str = "resnet"  # "resnet" | "unet_encoder"
     cv_encoder_ch: Tuple[int, ...] = (64, 128, 256, 384)
     plane_chunk: int = 8
     remat_cost_volume: bool = True
+    # "xla" (training; chunked+remat) or "pallas" (fused inference kernel,
+    # the analogue of the reference's --fast_cost_volume)
+    cost_volume_backend: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = EfficientNetV2Features(dtype=self.dtype, name="encoder")
-        self.matching_model = ResnetMatchingEncoder(
-            num_ch_out=self.matching_feature_dims, dtype=self.dtype,
-            name="matching_model")
+        if self.matching_encoder_type == "unet_encoder":
+            self.matching_model = UNetMatchingEncoder(
+                num_ch_out=self.matching_feature_dims, dtype=self.dtype,
+                name="matching_model")
+        else:
+            self.matching_model = ResnetMatchingEncoder(
+                num_ch_out=self.matching_feature_dims, dtype=self.dtype,
+                name="matching_model")
         if self.feature_volume_type == "simple_cost_volume":
             self.cost_volume = DotProductCostVolume(
                 num_depth_bins=self.matching_num_depth_bins,
@@ -82,6 +92,7 @@ class DepthModel(nn.Module):
                 matching_dim_size=self.matching_feature_dims,
                 num_source_views=self.model_num_views - 1,
                 plane_chunk=self.plane_chunk, remat=self.remat_cost_volume,
+                backend=self.cost_volume_backend,
                 dtype=self.dtype, name="cost_volume")
         else:
             raise ValueError(self.feature_volume_type)
@@ -195,4 +206,7 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         matching_feature_dims=opts.matching_feature_dims,
         model_num_views=opts.model_num_views,
         feature_volume_type=opts.feature_volume_type,
+        matching_encoder_type=opts.matching_encoder_type,
+        cost_volume_backend="pallas" if getattr(opts, "fast_cost_volume",
+                                                False) else "xla",
         dtype=dtype)

@@ -95,3 +95,81 @@ class ResnetMatchingEncoder(nn.Module):
         x = nn.Conv(self.num_ch_out, (3, 3), padding="VALID", use_bias=True,
                     name="head_conv2", dtype=self.dtype)(xp)
         return instance_norm(x.astype(jnp.float32)).astype(x.dtype)
+
+
+class _InvertedResidual(nn.Module):
+    """MobileNet-style inverted residual (depthwise separable) block —
+    the building block of the mnasnet backbone the reference's
+    `UNetMatchingEncoder` uses (`modules/networks.py:207-228`)."""
+    planes: int
+    stride: int = 1
+    expansion: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name, dtype=self.dtype)(h)
+
+        mid = x.shape[-1] * self.expansion
+        h = nn.Conv(mid, (1, 1), use_bias=False, name="expand",
+                    dtype=self.dtype)(x)
+        h = jax.nn.relu(bn(h, "bn0"))
+        h = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), feature_group_count=mid,
+                    use_bias=False, name="dw", dtype=self.dtype)(h)
+        h = jax.nn.relu(bn(h, "bn1"))
+        h = nn.Conv(self.planes, (1, 1), use_bias=False, name="project",
+                    dtype=self.dtype)(h)
+        h = bn(h, "bn2")
+        if self.stride == 1 and x.shape[-1] == self.planes:
+            h = h + x
+        return h
+
+
+class UNetMatchingEncoder(nn.Module):
+    """FPN matching encoder (`modules/networks.py:207-228`): a light
+    mnasnet-style pyramid + top-down FPN(32) + the same projection head,
+    producing `num_ch_out` features at 1/4 input resolution. The slower /
+    more accurate `matching_encoder_type: unet_encoder` option."""
+    num_ch_out: int = 16
+    fpn_channels: int = 32
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, image_bhw3: jnp.ndarray, train: bool = False
+                 ) -> jnp.ndarray:
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name, dtype=self.dtype)(h)
+
+        # bottom-up pyramid: strides 2, 4, 8, 16
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem", dtype=self.dtype)(image_bhw3)
+        x = jax.nn.relu(bn(x, "stem_bn"))
+        c1 = _InvertedResidual(16, 1, 1, self.dtype, name="b1")(x, train)
+        c2 = _InvertedResidual(24, 2, 3, self.dtype, name="b2")(c1, train)
+        c2 = _InvertedResidual(24, 1, 3, self.dtype, name="b2b")(c2, train)
+        c3 = _InvertedResidual(40, 2, 3, self.dtype, name="b3")(c2, train)
+        c3 = _InvertedResidual(40, 1, 3, self.dtype, name="b3b")(c3, train)
+        c4 = _InvertedResidual(96, 2, 6, self.dtype, name="b4")(c3, train)
+        c4 = _InvertedResidual(96, 1, 6, self.dtype, name="b4b")(c4, train)
+
+        # top-down FPN to 1/4 resolution
+        f = self.fpn_channels
+        p4 = conv1x1(f, use_bias=True, name="lat4", dtype=self.dtype)(c4)
+        p3 = conv1x1(f, use_bias=True, name="lat3", dtype=self.dtype)(c3) \
+            + jax.image.resize(p4, (p4.shape[0],) + c3.shape[1:3] + (f,),
+                               "nearest")
+        p2 = conv1x1(f, use_bias=True, name="lat2", dtype=self.dtype)(c2) \
+            + jax.image.resize(p3, (p3.shape[0],) + c2.shape[1:3] + (f,),
+                               "nearest")
+        p2 = nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                     name="smooth2", dtype=self.dtype)(p2)
+
+        # projection head, as in the resnet variant
+        x = jax.nn.leaky_relu(p2, negative_slope=0.2)
+        x = conv1x1(self.num_ch_out, use_bias=True, name="head_conv",
+                    dtype=self.dtype)(x)
+        return instance_norm(x.astype(jnp.float32)).astype(x.dtype)
