@@ -17,10 +17,16 @@ ops       pure-JAX compute kernels: geometry, grid sampling, image filters,
           plane-sweep cost volumes (XLA + Pallas paths)
 models    Flax module zoo: matching encoders, EfficientNetV2 image prior,
           cost-volume encoder, UNet++ depth decoder, the full DepthModel
-data      host-side data pipeline: datasets, tuple files, keyframe buffers
+data      host-side data pipeline: datasets, loaders, tuple generation,
+          keyframe buffers, .sens decoding
 parallel  device-mesh construction and sharded train/eval steps
-fusion    TSDF volume + fuser (JAX), marching cubes (native C++/numpy)
-utils     metrics, visualization, checkpointing
+fusion    TSDF volume + fuser (JAX), point-cloud fusion, marching cubes
+          (native C++) and PLY I/O
+render    headless mesh rendering (native C++ rasterizer)
+native    C++ kernels built on demand (marching cubes, rasterizer)
+utils     metrics, visualization, checkpointing, output caching
+scripts   CLI entry points: train, test, pc_fusion, tuple generation,
+          preprocessing, visualization
 """
 
 __version__ = "0.1.0"
