@@ -7,11 +7,17 @@ Baseline: the reference's speed-optimized hero latency, 70 ms per 512x384
 depth map, batch 1, on an A100-class GPU with `--fast_cost_volume`
 (`/root/reference/README.md:86-92`; BASELINE.md). `vs_baseline` is the
 speedup factor baseline_ms / our_ms (>1 means faster than the reference).
+
+Env knobs (defaults chosen for the driver run):
+    BENCH_BACKEND   xla | pallas   (cost-volume path; default xla)
+    BENCH_BATCH     batch size     (default 1; latency still /frame)
+    BENCH_ITERS     timed iterations (default 20)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -20,41 +26,52 @@ import jax.numpy as jnp
 BASELINE_MS = 70.0  # hero model, fast cost volume, A100, batch 1
 
 
-def main():
+def build(backend: str, batch: int):
     from simplerecon_tpu.models.depth_model import build_depth_model
     from simplerecon_tpu.options import Options
     from simplerecon_tpu.parallel.train import make_example_batch
 
     opts = Options()  # hero defaults: 512x384, 64 planes, 8 views
     opts.precision = "16"  # bf16 compute
+    opts.fast_cost_volume = backend == "pallas"
     model = build_depth_model(opts)
 
-    batch = make_example_batch(opts, batch_size=1)
-    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    data = make_example_batch(opts, batch_size=batch)
+    data = jax.tree_util.tree_map(jnp.asarray, data)
 
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, batch["cur"], batch["src"], flip=False,
-                           train=False)
+    variables = model.init(jax.random.PRNGKey(0), data["cur"],
+                           data["src"], flip=False, train=False)
 
     @jax.jit
     def forward(variables, cur, src):
         out = model.apply(variables, cur, src, flip=False, train=False)
         return out["depth_pred_s0_bhw1"]
 
-    # compile + warmup
-    forward(variables, batch["cur"], batch["src"]).block_until_ready()
-    for _ in range(3):
-        forward(variables, batch["cur"], batch["src"]).block_until_ready()
+    return forward, variables, data
 
-    iters = 20
+
+def time_forward(forward, variables, data, iters: int) -> float:
+    forward(variables, data["cur"], data["src"]).block_until_ready()
+    for _ in range(3):
+        forward(variables, data["cur"], data["src"]).block_until_ready()
     start = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, batch["cur"], batch["src"])
+        out = forward(variables, data["cur"], data["src"])
     out.block_until_ready()
-    ms = (time.perf_counter() - start) / iters * 1e3
+    return (time.perf_counter() - start) / iters * 1e3
+
+
+def main():
+    backend = os.environ.get("BENCH_BACKEND", "xla")
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    forward, variables, data = build(backend, batch)
+    ms_total = time_forward(forward, variables, data, iters)
+    ms = ms_total / batch  # per frame
 
     print(json.dumps({
-        "metric": "hero_depth_latency_512x384_b1",
+        "metric": f"hero_depth_latency_512x384_b{batch}_{backend}",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),

@@ -257,6 +257,11 @@ class MLPFeatureVolume(nn.Module):
             "nj,bij->bni", grid_N3,
             cur_invK_b44[:, :3, :3].astype(jnp.float32))
 
+        # largest divisor of N not exceeding the configured tile size
+        tile = min(self.pallas_tile, n)
+        while n % tile != 0:
+            tile -= 1
+
         p = self.mlp.variables["params"]
         dtype = self.dtype
         vol = pallas_cv.fused_feature_volume(
@@ -266,7 +271,7 @@ class MLPFeatureVolume(nn.Module):
             p["dense0"]["kernel"].astype(dtype), p["dense0"]["bias"],
             p["dense1"]["kernel"].astype(dtype), p["dense1"]["bias"],
             p["dense2"]["kernel"].astype(dtype), p["dense2"]["bias"],
-            tile=min(self.pallas_tile, n),
+            tile=tile,
             interpret=self.backend == "pallas_interpret")
         return vol.reshape(b, d, n)
 

@@ -34,19 +34,34 @@ from simplerecon_tpu.utils import checkpoint as ckpt_lib
 
 
 class JSONLLogger:
-    """Minimal scalar logger: one JSON object per line, sortable by
-    step. (The reference logs to TensorBoard, `train.py:97`.)"""
+    """Scalar logger: one JSON object per line (always), plus TensorBoard
+    event files when TensorFlow is importable (the reference logs to
+    TensorBoard via Lightning, `train.py:97`)."""
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._fh = open(self.path, "a")
+        self._tb = None
+        try:
+            import tensorflow as tf
+            self._tb = tf.summary.create_file_writer(
+                os.path.join(log_dir, "tb"))
+        except Exception:
+            pass
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
         rec = {"step": int(step),
                **{f"{prefix}{k}": float(v) for k, v in metrics.items()}}
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in metrics.items():
+                    tf.summary.scalar(f"{prefix}{k}", float(v),
+                                      step=int(step))
+                self._tb.flush()
 
 
 def build_dataloaders(opts: Options):
@@ -114,7 +129,7 @@ def main(opts: Options):
             device_batch = shard_batch(
                 jax.tree_util.tree_map(jnp.asarray, batch), mesh)
             state, metrics = train_step(state, device_batch, rng)
-            step = int(state.step)
+            step += 1  # host-side mirror of state.step (no device sync)
 
             if step % opts.log_interval == 0:
                 metrics = jax.device_get(metrics)

@@ -159,21 +159,60 @@ def _convert_decoder(sd, w: _TreeWriter):
                ("depth_decoder", f"output_{i}_conv"))
 
 
+def _convert_efficientnet(sd, w: _TreeWriter):
+    """timm tf_efficientnetv2_s (`encoder.encoder` in the reference is
+    attribute `encoder`; Lightning keys are `encoder.conv_stem.weight`,
+    `encoder.blocks.{s}.{b}.*`). Our stage{si}_block{bi} modules use the
+    same leaf names as timm (conv/conv_exp/conv_pw/conv_dw/conv_pwl,
+    bn1..bn3, se.conv_reduce/conv_expand)."""
+    if "encoder.conv_stem.weight" not in sd:
+        return  # checkpoint without the backbone; skip silently
+    base = ("encoder",)
+    w.conv(sd, "encoder.conv_stem.weight", base + ("conv_stem",))
+    w.bn(sd, "encoder.bn1", base + ("bn_stem",))
+    s = 0
+    while f"encoder.blocks.{s}.0.bn1.weight" in sd:
+        b = 0
+        while f"encoder.blocks.{s}.{b}.bn1.weight" in sd:
+            t = f"encoder.blocks.{s}.{b}"
+            fpath = base + (f"stage{s}_block{b}",)
+            if f"{t}.conv.weight" in sd:             # ConvBnAct
+                w.conv(sd, f"{t}.conv.weight", fpath + ("conv",))
+                w.bn(sd, f"{t}.bn1", fpath + ("bn1",))
+            elif f"{t}.conv_exp.weight" in sd:       # EdgeResidual
+                w.conv(sd, f"{t}.conv_exp.weight", fpath + ("conv_exp",))
+                w.bn(sd, f"{t}.bn1", fpath + ("bn1",))
+                w.conv(sd, f"{t}.conv_pwl.weight", fpath + ("conv_pwl",))
+                w.bn(sd, f"{t}.bn2", fpath + ("bn2",))
+            else:                                     # InvertedResidual
+                w.conv(sd, f"{t}.conv_pw.weight", fpath + ("conv_pw",))
+                w.bn(sd, f"{t}.bn1", fpath + ("bn1",))
+                w.conv(sd, f"{t}.conv_dw.weight", fpath + ("conv_dw",))
+                w.bn(sd, f"{t}.bn2", fpath + ("bn2",))
+                w.conv(sd, f"{t}.se.conv_reduce.weight",
+                       fpath + ("se", "conv_reduce"))
+                w.conv(sd, f"{t}.se.conv_expand.weight",
+                       fpath + ("se", "conv_expand"))
+                w.conv(sd, f"{t}.conv_pwl.weight", fpath + ("conv_pwl",))
+                w.bn(sd, f"{t}.bn3", fpath + ("bn3",))
+            b += 1
+        s += 1
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray]
                        ) -> Tuple[Dict, Dict, Dict]:
-    """Converts the non-backbone weights.
+    """Converts reference DepthModel weights to our module tree.
 
     Returns (params, batch_stats, report) — nested dicts matching our
-    module tree plus a report of converted/unconverted torch keys. The
-    EfficientNet image prior is NOT converted here (timm-architecture
-    mapping lands with a pretrained-weight source); merge these trees
-    over a fresh init with `merge_params`.
+    module tree plus a report of converted/unconverted torch keys.
+    Merge over a fresh init with `merge_params`.
     """
     w = _TreeWriter()
     _convert_matching_encoder(sd, w)
     _convert_mlp(sd, w)
     _convert_cv_encoder(sd, w)
     _convert_decoder(sd, w)
+    _convert_efficientnet(sd, w)
     report = {
         "converted": sorted(w.used),
         "skipped": sorted(k for k in sd if k not in w.used),

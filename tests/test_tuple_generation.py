@@ -74,3 +74,40 @@ def test_train_chains_valid_pairwise_distance():
     for chain in chains:
         assert len(chain) == 8
         assert len(set(chain)) == 8
+
+
+def test_generate_tuples_cli_over_synthetic_scan(tmp_path):
+    """End-to-end: synthetic ScanNet scan -> tuple file on disk."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_data import make_scannet_fixture
+    from simplerecon_tpu.options import Options
+    from simplerecon_tpu.scripts.generate_tuples import main as gen_main
+
+    root = str(tmp_path)
+    make_scannet_fixture(root, n_frames=12)
+    split_file = os.path.join(root, "split.txt")
+    with open(split_file, "w") as f:
+        f.write("scene0000_00\n")
+
+    opts = Options()
+    opts.dataset = "scannet"
+    opts.dataset_path = root
+    opts.dataset_scan_split_file = split_file
+    opts.tuple_info_file_location = os.path.join(root, "gen_tuples")
+    opts.mv_tuple_file_suffix = "_four_view.txt"
+    opts.split = "val"
+    opts.frame_tuple_type = "default"
+    opts.num_images_in_tuple = 4
+    opts.num_workers = 1
+    gen_main(opts)
+
+    out = os.path.join(root, "gen_tuples", "val_four_view.txt")
+    assert os.path.exists(out)
+    lines = [line for line in open(out) if line.strip()]
+    assert len(lines) > 0
+    for line in lines:
+        parts = line.split()
+        assert parts[0] == "scene0000_00"
+        assert len(parts) == 5  # scan + 4 frame ids
