@@ -163,7 +163,7 @@ class MLPFeatureVolume(nn.Module):
     plane_chunk: int = 8
     remat: bool = True
     backend: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
-    pallas_tile: int = 512
+    pallas_tile: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):

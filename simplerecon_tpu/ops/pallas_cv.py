@@ -43,7 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 512
+DEFAULT_TILE = 1024
 
 
 def mlp_in_channels(k: int, c: int) -> int:
@@ -53,23 +53,24 @@ def mlp_in_channels(k: int, c: int) -> int:
 def _kernel(planes_ref, pose_meta_ref, src_loc_ref,            # SMEM-ish
             sampled_ref, mask_ref, depths_ref, cur_ref, rays_ref,
             w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            out_ref, *, k: int, c: int, tile: int):
+            out_ref, *, k: int, c: int, d: int, tile: int):
     """One (batch*plane, pixel-tile) grid cell.
 
-    Ref shapes (VMEM blocks):
-      planes_ref    (1, 1)            this cell's plane depth
+    Ref shapes:
+      planes_ref    (b, d) in SMEM    full array; indexed by program_id
       pose_meta_ref (1, k, 3)         [penalty, R, t] per view
       src_loc_ref   (1, k, 3)         source camera centers (sweep frame)
       sampled_ref   (k, tile, c)      warped source features
       mask_ref      (k, tile)         depth-validity masks
       depths_ref    (k, tile)         projected depths
       cur_ref       (1, tile, c)      reference features
-      rays_ref      (1, tile, 3)      unit rays through each ref pixel
-      w*/b*         MLP params (full)
-      out_ref       (1, tile)         scores
+      rays_ref      (1, tile, 3)      unnormalized rays per ref pixel
+      w*/b*         MLP params (full, VMEM)
+      out_ref       (tile,)           scores (1-D row block)
     """
     f32 = jnp.float32
-    plane = planes_ref[0, 0]                       # scalar
+    bd = pl.program_id(0)
+    plane = planes_ref[bd // d, bd % d]            # scalar from SMEM
     cur = cur_ref[0].astype(f32)                   # (T, c)
     rays0 = rays_ref[0].astype(f32)                # (T, 3) invK @ pix
                                                    # (UNNORMALIZED, z = 1)
@@ -125,7 +126,7 @@ def _kernel(planes_ref, pose_meta_ref, src_loc_ref,            # SMEM-ish
     h1 = jax.nn.leaky_relu(h1, negative_slope=0.01)
     out = jnp.dot(h1.astype(dtype), w2_ref[...],
                   preferred_element_type=f32) + b2_ref[...].astype(f32)
-    out_ref[0, :] = out[:, 0]
+    out_ref[...] = out[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -170,14 +171,13 @@ def fused_feature_volume(sampled_kRc: jnp.ndarray,
         # block index into the flattened (b*d*N)/tile row axis
         return bd * n_tiles + n
 
-    kernel = functools.partial(_kernel, k=k, c=c, tile=tile)
+    kernel = functools.partial(_kernel, k=k, c=c, d=d, tile=tile)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bd, n, d=d: (bd // d, bd % d),
-                         memory_space=pltpu.SMEM),                 # planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # planes
             pl.BlockSpec((1, k, 3), lambda bd, n, d=d: (bd // d, 0, 0),
                          memory_space=pltpu.VMEM),                 # pose
             pl.BlockSpec((1, k, 3), lambda bd, n, d=d: (bd // d, 0, 0),
@@ -199,10 +199,9 @@ def fused_feature_volume(sampled_kRc: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # w2
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # b2
         ],
-        out_specs=pl.BlockSpec((1, tile),
-                               lambda bd, n: (row_block(bd, n), 0)),
-        out_shape=jax.ShapeDtypeStruct((b * d * N // tile, tile),
-                                       jnp.float32),
+        out_specs=pl.BlockSpec((tile,),
+                               lambda bd, n: (row_block(bd, n),)),
+        out_shape=jax.ShapeDtypeStruct((b * d * N,), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * R * (202 * 128 + 128 * 128 + 128),

@@ -99,10 +99,14 @@ def make_example_batch(opts, batch_size: int,
 
 def init_train_state(model, optimizer, rng,
                      example_batch) -> TrainState:
-    """Initializes params/batch_stats/optimizer state from a host batch."""
+    """Initializes params/batch_stats/optimizer state from a host batch.
+
+    The init is jitted: eager init dispatches each op separately, which
+    is pathological over a remote-TPU (axon) tunnel."""
     batch = jax.tree_util.tree_map(jnp.asarray, example_batch)
-    variables = model.init(rng, batch["cur"], batch["src"], flip=False,
-                           train=False)
+    init = jax.jit(lambda r, cur, src: model.init(r, cur, src, flip=False,
+                                                  train=False))
+    variables = init(rng, batch["cur"], batch["src"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,

@@ -211,8 +211,10 @@ def _load_or_init_variables(model, opts):
 
     batch = make_example_batch(opts, batch_size=1)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
-    variables = model.init(jrandom.PRNGKey(0), batch["cur"], batch["src"],
-                           flip=False, train=False)
+    # jitted init: eager init is pathological over a remote-TPU tunnel
+    init = jax.jit(lambda r, cur, src: model.init(r, cur, src, flip=False,
+                                                  train=False))
+    variables = init(jrandom.PRNGKey(0), batch["cur"], batch["src"])
     ckpt = opts.load_weights_from_checkpoint
     if ckpt:
         from simplerecon_tpu.parallel.train import (init_train_state,
