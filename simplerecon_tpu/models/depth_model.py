@@ -67,16 +67,26 @@ class DepthModel(nn.Module):
     # "xla" (training; chunked+remat) or "pallas" (fused inference kernel,
     # the analogue of the reference's --fast_cost_volume)
     cost_volume_backend: str = "xla"
+    # rematerialize the big submodules in the backward pass; costs ~1/3
+    # extra forward FLOPs during training, cuts activation memory several
+    # GB at batch 16 (inference is unaffected — no backward)
+    remat_submodules: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = EfficientNetV2Features(dtype=self.dtype, name="encoder")
+        def maybe_remat(cls, static_argnums):
+            # static_argnums counts `self` as 0
+            return (nn.remat(cls, static_argnums=static_argnums)
+                    if self.remat_submodules else cls)
+
+        self.encoder = maybe_remat(EfficientNetV2Features, (2,))(
+            dtype=self.dtype, name="encoder")
         if self.matching_encoder_type == "unet_encoder":
-            self.matching_model = UNetMatchingEncoder(
+            self.matching_model = maybe_remat(UNetMatchingEncoder, (2,))(
                 num_ch_out=self.matching_feature_dims, dtype=self.dtype,
                 name="matching_model")
         else:
-            self.matching_model = ResnetMatchingEncoder(
+            self.matching_model = maybe_remat(ResnetMatchingEncoder, (2,))(
                 num_ch_out=self.matching_feature_dims, dtype=self.dtype,
                 name="matching_model")
         if self.feature_volume_type == "simple_cost_volume":
@@ -96,11 +106,15 @@ class DepthModel(nn.Module):
                 dtype=self.dtype, name="cost_volume")
         else:
             raise ValueError(self.feature_volume_type)
-        self.cost_volume_net = CVEncoder(num_ch_outs=self.cv_encoder_ch,
-                                         dtype=self.dtype,
-                                         name="cost_volume_net")
-        self.depth_decoder = DepthDecoderPP(dtype=self.dtype,
-                                            name="depth_decoder")
+        def maybe_remat2(cls, static_argnums):
+            return (nn.remat(cls, static_argnums=static_argnums)
+                    if self.remat_submodules else cls)
+
+        self.cost_volume_net = maybe_remat2(CVEncoder, (3,))(
+            num_ch_outs=self.cv_encoder_ch, dtype=self.dtype,
+            name="cost_volume_net")
+        self.depth_decoder = maybe_remat2(DepthDecoderPP, (2,))(
+            dtype=self.dtype, name="depth_decoder")
 
     def __call__(self, cur_data: Dict[str, jnp.ndarray],
                  src_data: Dict[str, jnp.ndarray],
@@ -147,13 +161,13 @@ class DepthModel(nn.Module):
         src_image = _maybe_flip(flip, src_image, axis=3)
 
         # image-prior features on the (possibly flipped) reference image
-        cur_feats = self.encoder(cur_image, train=train)
+        cur_feats = self.encoder(cur_image, train)  # positional: remat static_argnums
 
         # matching features for all views in one batched pass
         all_images = jnp.concatenate([cur_image[:, None], src_image], axis=1)
         hw = all_images.shape[2:4]
         matching_feats = self.matching_model(
-            all_images.reshape(b * (k + 1), *hw, 3), train=train)
+            all_images.reshape(b * (k + 1), *hw, 3), train)
         mh, mw, mc = matching_feats.shape[1:]
         matching_feats = matching_feats.reshape(b, k + 1, mh, mw, mc)
         # flip matching features BACK for geometrically-correct MVS
@@ -174,9 +188,9 @@ class DepthModel(nn.Module):
                                   ).astype(self.dtype)
 
         cv_feats = self.cost_volume_net(cost_volume, cur_feats[m:],
-                                        train=train)
+                                        train)
         decoder_inputs = list(cur_feats[:m]) + cv_feats
-        outputs = dict(self.depth_decoder(decoder_inputs, train=train))
+        outputs = dict(self.depth_decoder(decoder_inputs, train))
 
         for key in list(outputs.keys()):
             log_depth = outputs[key].astype(jnp.float32)
