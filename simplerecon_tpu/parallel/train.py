@@ -139,9 +139,11 @@ def _forward_and_losses(model, params, batch_stats, batch, flip, train):
 
     loss_cur = dict(cur)
     loss_cur["normals_bhw3"] = gt_normals
+    # the data pipeline keeps the reference's key names (K_s0_b44 even
+    # for the stacked (b, k, 4, 4) source tensor); map to the loss names
     loss_src = {
         "depth_bkhw": src["depth_bkhw"],
-        "K_s0_bk44": src["K_s0_bk44"],
+        "K_s0_bk44": src.get("K_s0_bk44", src.get("K_s0_b44")),
         "cam_T_world_bk44": src["cam_T_world_b44"],
     }
     loss_dict = loss_lib.compute_losses(loss_cur, loss_src, outputs)

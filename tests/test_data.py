@@ -190,3 +190,21 @@ def test_vdr_dataset(tmp_path):
     # pose finite and rotation orthonormal after GL->CV + gravity rotation
     R = cur["world_T_cam_b44"][:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_train_schema_matches_train_step_expectations(scannet_root):
+    """The loader's train-schema batch must carry every key the train
+    step consumes (caught live: K_s0_b44 vs K_s0_bk44 mismatch)."""
+    ds = make_dataset(scannet_root, split="train")
+    dl = DataLoader(ds, batch_size=2, num_workers=2,
+                    adapter=to_train_schema)
+    batch = next(iter(dl))
+    cur, src = batch["cur"], batch["src"]
+    m = 1  # matching scale
+    for key in ("image_b3hw", "depth_bhw", "mask_b_bhw", "invK_s0_b44",
+                f"invK_s{m}_b44", "world_T_cam_b44", "cam_T_world_b44"):
+        assert key in cur, key
+    for key in ("image_b3hw", "depth_bkhw", f"K_s{m}_b44",
+                "world_T_cam_b44", "cam_T_world_b44"):
+        assert key in src, key
+    assert "K_s0_b44" in src or "K_s0_bk44" in src
