@@ -80,10 +80,12 @@ class ScanniverseDataset(GenericMVSDataset):
                         "py": float(lines[li + 5].split(" ")[-1]),
                     }
                 if "rotation:" in line:
-                    q = re.search(r"\[(.+?)\]", line).group(1).split(",")
+                    seg = line.split("rotation:", 1)[1]
+                    q = re.search(r"\[(.+?)\]", seg).group(1).split(",")
                     info["extrinsics"]["quadR"] = [float(v) for v in q]
                 if "translation:" in line:
-                    t = re.search(r"\[(.+?)\]", line).group(1).split(",")
+                    seg = line.split("translation:", 1)[1]
+                    t = re.search(r"\[(.+?)\]", seg).group(1).split(",")
                     info["extrinsics"]["T"] = [float(v) for v in t]
                 if "is_large_image:" in line and "true" in line:
                     info["large_image"] = True
