@@ -59,9 +59,9 @@ def eval_abs_rel(eval_step, state, batches) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=1200)  # BN running stats need ~500 steps to settle
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--eval_every", type=int, default=100)
+    ap.add_argument("--eval_every", type=int, default=300)
     args = ap.parse_args()
 
     opts = make_opts(args)
