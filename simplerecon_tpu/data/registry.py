@@ -18,6 +18,7 @@ def _lazy_classes():
     from simplerecon_tpu.data.arkit import ArkitDataset
     from simplerecon_tpu.data.colmap import ColmapDataset
     from simplerecon_tpu.data.scanniverse import ScanniverseDataset
+    from simplerecon_tpu.data.synthetic import SyntheticDataset
     return {
         "scannet": ScannetDataset,
         "7scenes": SevenScenesDataset,
@@ -25,6 +26,8 @@ def _lazy_classes():
         "arkit": ArkitDataset,
         "colmap": ColmapDataset,
         "scanniverse": ScanniverseDataset,
+        # rasterizer-rendered in-memory scene; no dataset_path needed
+        "synthetic": SyntheticDataset,
     }
 
 

@@ -39,6 +39,29 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices).reshape(mesh_shape), tuple(axis_names))
 
 
+def make_hybrid_mesh(ici_axis_size: int, dcn_axis_size: int,
+                     axis_names: Sequence[str] = ("replica", "data"),
+                     devices=None) -> Mesh:
+    """Multi-host mesh: a DCN (between-host) axis times an ICI
+    (within-host) axis, laid out so collectives on the `data` axis ride
+    ICI. Uses `mesh_utils.create_hybrid_device_mesh` on real multi-host
+    platforms and falls back to a reshaped mesh on single-host/virtual
+    device sets (where DCN locality doesn't exist).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = ici_axis_size * dcn_axis_size
+    devices = devices[:n]
+    try:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (dcn_axis_size,), (ici_axis_size,), devices=devices)
+    except Exception:
+        arr = np.asarray(devices).reshape(dcn_axis_size, ici_axis_size)
+    return Mesh(arr.reshape(dcn_axis_size, ici_axis_size),
+                tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding that splits the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis))
