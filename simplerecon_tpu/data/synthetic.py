@@ -97,9 +97,11 @@ class SyntheticDataset(GenericMVSDataset):
         self.num_images_in_tuple = num_images_in_tuple
         self.shuffle_tuple = False
         self.include_high_res_color = False
-        self.include_full_res_depth = False
-        self.include_full_depth_K = False
-        self.pass_frame_id = False
+        self.include_full_res_depth = bool(
+            kwargs.get("include_full_res_depth", False))
+        self.include_full_depth_K = bool(
+            kwargs.get("include_full_depth_K", False))
+        self.pass_frame_id = bool(kwargs.get("pass_frame_id", False))
         self.rng = np.random.RandomState(seed)
         self.color_transform = None
 
@@ -140,7 +142,17 @@ class SyntheticDataset(GenericMVSDataset):
     def load_intrinsics(self, scan_id, frame_id=None, flip: bool = False):
         return self._scaled_intrinsics(
             self._K, float(self.image_width), float(self.image_height),
-            self.depth_width, self.depth_height, flip, False)
+            self.depth_width, self.depth_height, flip,
+            self.include_full_depth_K)
+
+    def get_frame_id_string(self, frame_id):
+        return str(frame_id)
+
+    def load_full_res_depth_and_mask(self, scan_id, frame_id):
+        _, depth = self._render(int(frame_id))
+        mask_b = depth[None] > 0
+        d = np.where(mask_b, depth[None], np.nan).astype(np.float32)
+        return d, mask_b.astype(np.float32), mask_b
 
     def load_target_size_depth_and_mask(self, scan_id, frame_id):
         _, depth = self._render(int(frame_id))

@@ -66,7 +66,8 @@ def main(opts: Options):
                           for k, v in batch["src"].items()
                           if isinstance(v, np.ndarray)}
             outputs = forward(device_cur, device_src)
-            pred = np.asarray(outputs["depth_pred_s0_bhw1"][..., 0])
+            # np.array (copy): asarray of a jax array is read-only
+            pred = np.array(outputs["depth_pred_s0_bhw1"][..., 0])
             pred[pred > opts.fusion_max_depth] = 0.0  # (`pc_fusion.py:118`)
             for i in range(pred.shape[0]):
                 depths.append(pred[i])

@@ -168,7 +168,8 @@ def main(opts: Options):
             if fuser is not None:
                 fusion_depth = depth_pred.copy()
                 if opts.fusion_use_raw_lowest_cost:
-                    fusion_depth = np.asarray(outputs["lowest_cost_bhw"])
+                    # np.array (copy): jax arrays are read-only views
+                    fusion_depth = np.array(outputs["lowest_cost_bhw"])
                 if opts.mask_pred_depth:
                     mask = np.asarray(outputs["overall_mask_bhw"])
                     fusion_depth = np.where(mask > 0.5, fusion_depth, 0.0)

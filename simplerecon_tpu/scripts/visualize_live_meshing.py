@@ -52,7 +52,7 @@ def main(opts: Options):
             num_images_in_tuple=opts.num_images_in_tuple
             or opts.model_num_views,
             image_height=opts.image_height, image_width=opts.image_width,
-            include_full_depth_K=True)
+            include_full_depth_K=True, pass_frame_id=opts.cache_depths)
         # live meshing is online: batch forced to 1
         # (`visualize_live_meshing.py:28-29`)
         loader = DataLoader(dataset, batch_size=1,
@@ -60,21 +60,47 @@ def main(opts: Options):
         fuser = get_fuser(opts, "")
         birdseye = SmoothBirdsEyeCamera()
 
+        # reuse cached per-frame depths when available (the reference's
+        # cached-depth path, `visualize_live_meshing.py:90-130`)
+        cache_dir = os.path.join(opts.output_base_path, opts.name,
+                                 opts.dataset, opts.frame_tuple_type,
+                                 "depths", scan)
+
         fpv_frames: List[np.ndarray] = []
         bird_frames: List[np.ndarray] = []
+        frame_index = -1
         for batch in loader:
+            frame_index += 1
             cur, src = batch["cur"], batch["src"]
-            device_cur = {k: jnp.asarray(v) for k, v in cur.items()
-                          if isinstance(v, np.ndarray)}
-            device_src = {k: jnp.asarray(v) for k, v in src.items()
-                          if isinstance(v, np.ndarray)}
-            outputs = forward(device_cur, device_src)
-            depth = np.asarray(outputs["depth_pred_s0_bhw1"][..., 0])
+
+            cached = None
+            if opts.cache_depths:
+                fid = cur.get("frame_id_string", [str(frame_index)])[0]
+                pickle_path = os.path.join(cache_dir, f"{fid}.pickle")
+                if os.path.exists(pickle_path):
+                    from simplerecon_tpu.utils.cache import \
+                        load_cached_output
+                    cached = load_cached_output(cache_dir, fid)
+
+            if cached is not None:
+                depth = np.array(cached["depth_pred_s0_b1hw"][:, 0])
+            else:
+                device_cur = {k: jnp.asarray(v) for k, v in cur.items()
+                              if isinstance(v, np.ndarray)}
+                device_src = {k: jnp.asarray(v) for k, v in src.items()
+                              if isinstance(v, np.ndarray)}
+                outputs = forward(device_cur, device_src)
+                # np.array (copy): asarray of a jax array is read-only
+                depth = np.array(outputs["depth_pred_s0_bhw1"][..., 0])
             depth[depth > opts.fusion_max_depth] = 0.0
 
+            # fuse at the prediction's own (s0) resolution with the
+            # matching intrinsics — TSDF integration is resolution-
+            # agnostic (test.py uses the full-res path for eval parity)
+            K_s0 = np.asarray(cur["K_s0_b44"][0])
             K_full = np.asarray(cur["K_full_depth_b44"][0])
             world_T_cam = np.asarray(cur["world_T_cam_b44"][0])
-            fuser.fuse_frames(depth[:, None], K_full[None],
+            fuser.fuse_frames(depth[:, None], K_s0[None],
                               np.asarray(cur["cam_T_world_b44"]), None)
 
             verts, faces = fuser.get_mesh()

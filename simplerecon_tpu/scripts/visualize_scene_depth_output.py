@@ -65,7 +65,7 @@ def main(opts: Options):
             if not os.path.exists(pickle_path):
                 continue
             cached = load_cached_output(scan_cache, frame_id)
-            depth_pred = cached["depth_pred_s0_b1hw"][0]
+            depth_pred = cached["depth_pred_s0_b1hw"][0, 0]
 
             gt = cur_data.get("depth_b1hw")
             vmin, vmax = normalize_depth_robust(

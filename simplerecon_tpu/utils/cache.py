@@ -22,8 +22,9 @@ def cache_model_outputs(output_path: str, outputs: Dict, cur_data: Dict,
     os.makedirs(output_path, exist_ok=True)
     for i in range(batch_size):
         record = {
+            # (1, 1, h, w): a true b1hw tensor for this single frame
             "depth_pred_s0_b1hw": np.asarray(
-                outputs["depth_pred_s0_bhw1"][i, ..., 0])[None],
+                outputs["depth_pred_s0_bhw1"][i, ..., 0])[None, None],
             "K_full_depth_b44": np.asarray(
                 cur_data.get("K_full_depth_b44",
                              cur_data["K_s0_b44"])[i]),
@@ -34,7 +35,7 @@ def cache_model_outputs(output_path: str, outputs: Dict, cur_data: Dict,
         }
         if outputs.get("lowest_cost_bhw") is not None:
             record["lowest_cost_bhw"] = np.asarray(
-                outputs["lowest_cost_bhw"][i])[None]
+                outputs["lowest_cost_bhw"][i])[None]  # (1, h, w)
         if src_frame_ids is not None:
             record["src_ids"] = src_frame_ids[i]
         with open(os.path.join(output_path, f"{frame_ids[i]}.pickle"),
