@@ -51,10 +51,6 @@ def mlp_input_channels(matching_dim_size: int, num_source_views: int) -> int:
             + 3 * k)                     # pose penalty, R, t
 
 
-class _VolumeOutputs(Tuple):
-    pass
-
-
 class DotProductCostVolume(nn.Module):
     """Masked dot-product reduction summed over source views
     (`modules/cost_volume.py:237-335`)."""
