@@ -91,6 +91,8 @@ class _TreeWriter:
 def _convert_matching_encoder(sd, w: _TreeWriter):
     """`ResnetMatchingEncoder.net` (`modules/networks.py:149-202`):
     [0]=conv1 [1]=bn1 [4]=layer1 [5]=1x1 conv [8]=3x3 conv."""
+    if "matching_model.net.0.weight" not in sd:
+        return
     base = ("matching_model",)
     w.conv(sd, "matching_model.net.0.weight", base + ("conv1",))
     w.bn(sd, "matching_model.net.1", base + ("bn1",))
@@ -105,10 +107,14 @@ def _convert_matching_encoder(sd, w: _TreeWriter):
 
 
 def _convert_mlp(sd, w: _TreeWriter):
-    """`cost_volume.mlp.net` Linear indices 0, 2, 4."""
-    for our, theirs in (("dense0", 0), ("dense1", 2), ("dense2", 4)):
+    """`cost_volume.mlp.net` Linear layers (indices 0, 2, 4, ...)."""
+    i = 0
+    theirs = 0
+    while f"cost_volume.mlp.net.{theirs}.weight" in sd:
         w.linear(sd, f"cost_volume.mlp.net.{theirs}",
-                 ("cost_volume", "mlp", our))
+                 ("cost_volume", "mlp", f"dense{i}"))
+        i += 1
+        theirs += 2
 
 
 def _convert_basic_block(sd, w: _TreeWriter, tprefix: str,
@@ -126,6 +132,8 @@ def _convert_basic_block(sd, w: _TreeWriter, tprefix: str,
 
 
 def _convert_cv_encoder(sd, w: _TreeWriter, num_blocks: int = 4):
+    if "cost_volume_net.convs.ds_conv_0.conv1.weight" not in sd:
+        return
     for i in range(num_blocks):
         _convert_basic_block(sd, w, f"cost_volume_net.convs.ds_conv_{i}",
                              ("cost_volume_net", f"ds_conv_{i}"))
@@ -137,6 +145,8 @@ def _convert_cv_encoder(sd, w: _TreeWriter, num_blocks: int = 4):
 
 def _convert_decoder(sd, w: _TreeWriter):
     base = "depth_decoder.convs"
+    if f"{base}.right_conv_00.conv1.weight" not in sd:
+        return
     for j in range(1, 5):
         for i in range(4 - j, -1, -1):
             _convert_basic_block(sd, w, f"{base}.diag_conv_{i + 1}{j - 1}",
