@@ -180,8 +180,9 @@ def _convert_efficientnet(sd, w: _TreeWriter):
     base = ("encoder",)
     w.conv(sd, "encoder.conv_stem.weight", base + ("conv_stem",))
     w.bn(sd, "encoder.bn1", base + ("bn_stem",))
-    s = 0
-    while f"encoder.blocks.{s}.0.bn1.weight" in sd:
+    for s in range(16):  # stages need not be consecutive in subsets
+        if f"encoder.blocks.{s}.0.bn1.weight" not in sd:
+            continue
         b = 0
         while f"encoder.blocks.{s}.{b}.bn1.weight" in sd:
             t = f"encoder.blocks.{s}.{b}"
@@ -206,7 +207,6 @@ def _convert_efficientnet(sd, w: _TreeWriter):
                 w.conv(sd, f"{t}.conv_pwl.weight", fpath + ("conv_pwl",))
                 w.bn(sd, f"{t}.bn3", fpath + ("bn3",))
             b += 1
-        s += 1
 
 
 def convert_state_dict(sd: Dict[str, np.ndarray]

@@ -156,3 +156,78 @@ def test_matching_encoder_parity():
     got_nchw = got.transpose(0, 3, 1, 2)
     assert got_nchw.shape == want.shape
     np.testing.assert_allclose(got_nchw, want, rtol=1e-3, atol=1e-4)
+
+
+class TorchSE(tnn.Module):
+    def __init__(self, ch, rd):
+        super().__init__()
+        self.conv_reduce = tnn.Conv2d(ch, rd, 1)
+        self.conv_expand = tnn.Conv2d(rd, ch, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = tnn.functional.silu(self.conv_reduce(s))
+        return x * torch.sigmoid(self.conv_expand(s))
+
+
+class TorchMBConv(tnn.Module):
+    """timm InvertedResidual (ir) with SE, stride 1, expand 4."""
+
+    def __init__(self, ch=8, expand=4):
+        super().__init__()
+        mid = ch * expand
+        self.conv_pw = tnn.Conv2d(ch, mid, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(mid, eps=1e-3)
+        self.conv_dw = tnn.Conv2d(mid, mid, 3, padding=1, groups=mid,
+                                  bias=False)
+        self.bn2 = tnn.BatchNorm2d(mid, eps=1e-3)
+        self.se = TorchSE(mid, max(1, round(ch * 0.25)))
+        self.conv_pwl = tnn.Conv2d(mid, ch, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(ch, eps=1e-3)
+
+    def forward(self, x):
+        out = tnn.functional.silu(self.bn1(self.conv_pw(x)))
+        out = tnn.functional.silu(self.bn2(self.conv_dw(out)))
+        out = self.se(out)
+        out = self.bn3(self.conv_pwl(out))
+        return out + x
+
+
+def test_mbconv_parity():
+    from simplerecon_tpu.models.efficientnet import _MBConv
+
+    tm = TorchMBConv().eval()
+    for mod in tm.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.05)
+            mod.running_var.uniform_(0.5, 1.5)
+    x = torch.randn(2, 8, 12, 16)
+    with torch.no_grad():
+        want = to_np(tm(x))
+
+    # state names as in the Lightning checkpoint: encoder.blocks.3.0.*
+    sd = {f"encoder.blocks.3.0.{k}": v.numpy()
+          for k, v in tm.state_dict().items()}
+    # minimal stem keys so the efficientnet section engages
+    sd["encoder.conv_stem.weight"] = np.zeros((8, 3, 3, 3), np.float32)
+    for stat, shape in (("weight", 8), ("bias", 8),
+                        ("running_mean", 8), ("running_var", 8)):
+        sd[f"encoder.bn1.{stat}"] = (np.ones(shape, np.float32)
+                                     if "var" in stat or "weight" in stat
+                                     else np.zeros(shape, np.float32))
+    params, stats, _ = convert_state_dict(sd)
+
+    fm = _MBConv(features=8, stride=1, expand=4, se_ratio=0.25)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.zeros((2, 12, 16, 8)),
+                        train=False)
+    merged_p = merge_params(
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+        params["encoder"]["stage3_block0"])
+    merged_s = merge_params(
+        jax.tree_util.tree_map(np.asarray, variables["batch_stats"]),
+        stats["encoder"]["stage3_block0"])
+    got = np.asarray(fm.apply(
+        {"params": merged_p, "batch_stats": merged_s},
+        jnp.asarray(to_np(x).transpose(0, 2, 3, 1)), train=False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=1e-3, atol=1e-4)
