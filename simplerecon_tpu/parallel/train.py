@@ -189,6 +189,21 @@ def eval_step_fn(model) -> Callable:
     return step
 
 
+def make_sharded_forward(model, variables, mesh) -> Callable:
+    """Batch-sharded inference: replicated params, batch split over the
+    `data` axis — production serving over all chips in one jitted call."""
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+
+    def forward(variables, cur_data, src_data):
+        return model.apply(variables, cur_data, src_data, flip=False,
+                           train=False, return_mask=True)
+
+    fn = jax.jit(forward, in_shardings=(rep, data, data),
+                 out_shardings=data)
+    return lambda cur, src: fn(variables, cur, src)
+
+
 def make_sharded_train_step(model, optimizer, mesh,
                             donate: bool = True) -> Callable:
     """Jits the train step over the mesh: replicated state, batch-sharded

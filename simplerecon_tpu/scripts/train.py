@@ -93,6 +93,13 @@ def main(opts: Options):
     ckpt_dir = os.path.join(log_dir, "checkpoints")
     os.makedirs(log_dir, exist_ok=True)
     save_options_yaml(os.path.join(log_dir, "options.yaml"), opts)
+    # snapshot the source for reproducibility (`train.py:101-108` in the
+    # reference)
+    from simplerecon_tpu.utils.cache import copy_code_state
+    try:
+        copy_code_state(log_dir)
+    except Exception as e:
+        print(f"code snapshot failed: {e}")
     logger = JSONLLogger(log_dir)
 
     model = build_depth_model(opts)

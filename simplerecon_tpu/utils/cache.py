@@ -46,3 +46,29 @@ def cache_model_outputs(output_path: str, outputs: Dict, cur_data: Dict,
 def load_cached_output(output_path: str, frame_id: str) -> Dict:
     with open(os.path.join(output_path, f"{frame_id}.pickle"), "rb") as f:
         return pickle.load(f)
+
+
+def copy_code_state(log_dir: str, repo_root: str = None) -> str:
+    """Snapshots the framework source into the log directory for
+    reproducibility (`utils/generic_utils.py:15-34` in the reference).
+    Copies only tracked-ish source files (*.py, *.cpp, *.yaml, *.md)."""
+    import shutil
+
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    dst_root = os.path.join(log_dir, "code")
+    exts = (".py", ".cpp", ".yaml", ".md", ".toml")
+    for dirpath, dirnames, filenames in os.walk(repo_root):
+        dirnames[:] = [d for d in dirnames
+                       if not d.startswith(".") and d not in
+                       ("__pycache__", "outputs", "tmp")]
+        for fname in filenames:
+            if not fname.endswith(exts):
+                continue
+            src = os.path.join(dirpath, fname)
+            rel = os.path.relpath(src, repo_root)
+            dst = os.path.join(dst_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+    return dst_root

@@ -159,3 +159,33 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 1 and np.all(np.isfinite(np.asarray(out)))
     ge.dryrun_multichip(8)
+
+
+def test_sharded_forward_inference():
+    """Batch-sharded serving path over the virtual mesh."""
+    from simplerecon_tpu.parallel.train import make_sharded_forward
+
+    opts = tiny_opts(batch_size=8)
+    model = build_depth_model(opts)
+    batch = random_batch(opts, 8)
+    state = init_train_state(model, make_optimizer(opts),
+                             jax.random.PRNGKey(0), batch)
+    variables = {"params": state.params,
+                 "batch_stats": state.batch_stats}
+    mesh = make_mesh(8)
+    forward = make_sharded_forward(model, variables, mesh)
+    device_batch = shard_batch(jax.tree_util.tree_map(jnp.asarray, batch),
+                               mesh)
+    out = forward(device_batch["cur"], device_batch["src"])
+    depth = np.asarray(out["depth_pred_s0_bhw1"])
+    assert depth.shape[0] == 8
+    assert np.isfinite(depth).all()
+
+
+def test_copy_code_state(tmp_path):
+    from simplerecon_tpu.utils.cache import copy_code_state
+    out = copy_code_state(str(tmp_path))
+    import os
+    assert os.path.exists(os.path.join(
+        out, "simplerecon_tpu", "losses.py"))
+    assert os.path.exists(os.path.join(out, "bench.py"))
