@@ -36,6 +36,8 @@ def build(backend: str, batch: int):
     opts = Options()  # hero defaults: 512x384, 64 planes, 8 views
     opts.precision = "16"  # bf16 compute
     opts.fast_cost_volume = backend == "pallas"
+    if os.environ.get("BENCH_MODEL") == "dot_product":
+        opts.feature_volume_type = "simple_cost_volume"
     model = build_depth_model(opts)
 
     data = make_example_batch(opts, batch_size=batch)
