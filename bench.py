@@ -133,8 +133,11 @@ def main():
     ms_total = time_forward(forward, variables, data, iters)
     ms = ms_total / batch  # per frame
 
+    model_name = ("dot_product"
+                  if os.environ.get("BENCH_MODEL") == "dot_product"
+                  else "hero")
     print(json.dumps({
-        "metric": f"hero_depth_latency_512x384_b{batch}_{backend}",
+        "metric": f"{model_name}_depth_latency_512x384_b{batch}_{backend}",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
