@@ -57,6 +57,7 @@ class GenericMVSDataset:
                  skip_frames: Optional[int] = None,
                  skip_to_frame: Optional[int] = None,
                  color_jitter: bool = True,
+                 decode_cache_size: int = 128,
                  rng: Optional[np.random.RandomState] = None):
         self.dataset_path = dataset_path
         self.split = split
@@ -81,6 +82,18 @@ class GenericMVSDataset:
         self.rng = rng or np.random.RandomState()
         self.color_transform = (dio.ColorJitter(rng=self.rng)
                                 if color_jitter else None)
+
+        # LRU cache of DETERMINISTIC per-frame decodes (color before
+        # augmentation, depth, pose, intrinsics). Consecutive tuples in a
+        # scan share most frames, so this cuts host decode work ~8x for
+        # 8-view tuples. Augmentation (jitter, flip) happens after the
+        # cache, so randomness is preserved; cached arrays are never
+        # mutated in place downstream.
+        from collections import OrderedDict
+        import threading
+        self._decode_cache: "OrderedDict" = OrderedDict()
+        self._decode_cache_size = decode_cache_size
+        self._decode_lock = threading.Lock()
 
         self.frame_tuples: List[str] = []
         if mv_tuple_file_suffix is not None:
@@ -167,19 +180,45 @@ class GenericMVSDataset:
             out[f"invK_s{i}_b44"] = np.linalg.inv(Ks).astype(np.float32)
         return out
 
+    def _decode_frame(self, scan_id, frame_id, load_depth: bool):
+        """Cached deterministic decode: pose, color (pre-augmentation),
+        depth/mask."""
+        if not hasattr(self, "_decode_cache"):  # subclasses that skip
+            from collections import OrderedDict  # the base __init__
+            import threading
+            self._decode_cache = OrderedDict()
+            self._decode_cache_size = 128
+            self._decode_lock = threading.Lock()
+        key = (scan_id, frame_id, load_depth)
+        with self._decode_lock:
+            if key in self._decode_cache:
+                self._decode_cache.move_to_end(key)
+                return self._decode_cache[key]
+        pose = self.load_pose(scan_id, frame_id)
+        color = self.load_color(scan_id, frame_id)
+        depth = (self.load_target_size_depth_and_mask(scan_id, frame_id)
+                 if load_depth else None)
+        entry = (pose, color, depth)
+        if self._decode_cache_size > 0:
+            with self._decode_lock:
+                self._decode_cache[key] = entry
+                while len(self._decode_cache) > self._decode_cache_size:
+                    self._decode_cache.popitem(last=False)
+        return entry
+
     def get_frame(self, scan_id, frame_id, load_depth: bool,
                   flip: bool = False) -> Dict[str, np.ndarray]:
         """One frame's data (`generic_mvs_dataset.py:451-585`)."""
         out: Dict[str, np.ndarray] = {}
 
-        world_T_cam, cam_T_world = self.load_pose(scan_id, frame_id)
+        (world_T_cam, cam_T_world), image, depth_entry = \
+            self._decode_frame(scan_id, frame_id, load_depth)
         if flip:
             T = np.eye(4, dtype=world_T_cam.dtype)
             T[0, 0] = -1.0
             world_T_cam = world_T_cam @ T
             cam_T_world = np.linalg.inv(world_T_cam)
 
-        image = self.load_color(scan_id, frame_id)
         if self.split == "train" and self.color_transform is not None:
             image = self.color_transform(image)
         if flip:
@@ -194,8 +233,7 @@ class GenericMVSDataset:
         out.update(self.load_intrinsics(scan_id, frame_id, flip=flip))
 
         if load_depth:
-            depth, mask, mask_b = self.load_target_size_depth_and_mask(
-                scan_id, frame_id)
+            depth, mask, mask_b = depth_entry
             if flip:
                 depth = depth[..., ::-1].copy()
                 mask = mask[..., ::-1].copy()
