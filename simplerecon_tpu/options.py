@@ -60,6 +60,8 @@ class Options:
     # --------------------------- hyperparameters --------------------------
     lr: float = 1e-4
     wd: float = 1e-4
+    # optional global-norm gradient clipping (0 = off, reference behavior)
+    grad_clip: float = 0.0
     num_sanity_val_steps: int = 0
     max_steps: int = 110000
     batch_size: int = 16

@@ -50,7 +50,16 @@ def make_lr_schedule(opts) -> optax.Schedule:
 
 
 def make_optimizer(opts) -> optax.GradientTransformation:
-    return optax.adamw(make_lr_schedule(opts), weight_decay=opts.wd)
+    """AdamW + stepped LR, wrapped so non-finite gradient batches are
+    SKIPPED instead of silently poisoning the params (observed: a bad
+    batch can NaN the predictions, after which every masked loss term
+    zeroes out and training walks on dead). Optional global-norm clip
+    via `opts.grad_clip` (off by default, matching the reference)."""
+    tx = optax.adamw(make_lr_schedule(opts), weight_decay=opts.wd)
+    clip = float(getattr(opts, "grad_clip", 0.0) or 0.0)
+    if clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return optax.apply_if_finite(tx, max_consecutive_errors=1000)
 
 
 def make_example_batch(opts, batch_size: int,
