@@ -236,6 +236,20 @@ class MLPFeatureVolume(nn.Module):
         d = planes_bd.shape[1]
         n = cur_bNc.shape[1]
 
+        # chunk planes so the materialized warp stack stays under ~1 GB
+        # (at batch 32 the full hero stack is 45 GB and OOMs the chip)
+        bytes_per_plane = b * k * n * c * 2  # bf16
+        dc = max(1, min(d, int((1 << 30) // max(bytes_per_plane, 1))))
+        while d % dc != 0:
+            dc -= 1
+        if dc < d:
+            chunks = [self._pallas_volume(
+                planes_bd[:, s:s + dc], cur_bNc, src_feats_bkhwc,
+                src_extrinsics_bk44, src_Ks_bk44, cur_invK_b44,
+                src_cam_loc_bk3, pose_penalty_bk3)
+                for s in range(0, d, dc)]
+            return jnp.concatenate(chunks, axis=1)
+
         warp = cv_ops.sweep_warp(src_feats_bkhwc, src_extrinsics_bk44,
                                  src_Ks_bk44, cur_invK_b44, planes_bd)
         # (b, k, d, N, c) -> (k, b*d*N, c); rows ordered (b, d, N)
