@@ -60,8 +60,12 @@ def make_room_mesh(tess: int = 64, seed: int = 0
 
 
 def camera_trajectory(n_frames: int, radius: float = 0.35,
-                      step: float = 0.12) -> List[np.ndarray]:
-    """Gentle forward walk with lateral sway, looking down +z."""
+                      step: float = 0.06) -> List[np.ndarray]:
+    """Gentle forward walk with lateral sway, looking down +z.
+
+    The default step keeps 48 frames inside the room (back wall at
+    z = 4 m): cameras past the wall see nothing, every masked loss term
+    zeroes out, and training silently walks on empty batches."""
     poses = []
     for i in range(n_frames):
         world_T_cam = np.eye(4, dtype=np.float64)

@@ -198,7 +198,12 @@ class DepthModel(nn.Module):
             bhw1_key = key.replace("_b1hw", "_bhw1")
             outputs.pop(key)
             outputs[bhw1_key] = log_depth
-            outputs[bhw1_key.replace("log_", "")] = jnp.exp(log_depth)
+            # clamp before exp: unsupervised regions (masked-out GT) can
+            # drift until exp overflows to inf, which then leaks into
+            # gradient/normals losses as NaN. [-8, 8] = [0.3mm, 3km],
+            # never binding for real depth.
+            outputs[bhw1_key.replace("log_", "")] = jnp.exp(
+                jnp.clip(log_depth, -8.0, 8.0))
 
         outputs["lowest_cost_bhw"] = _maybe_flip(flip, lowest_cost, axis=2)
         outputs["overall_mask_bhw"] = overall_mask
