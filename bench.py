@@ -1,31 +1,113 @@
 """Headline benchmark: hero-model depth inference latency at 512x384.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, ...}
 
 Baseline: the reference's speed-optimized hero latency, 70 ms per 512x384
 depth map, batch 1, on an A100-class GPU with `--fast_cost_volume`
-(`/root/reference/README.md:86-92`; BASELINE.md). `vs_baseline` is the
-speedup factor baseline_ms / our_ms (>1 means faster than the reference).
+(`/root/reference/README.md:86-92`; BASELINE.md). For batch >= 8 the
+baseline is the reference's ~40 ms/frame batch-8 number. `vs_baseline` is
+the speedup factor baseline_ms / our_ms (>1 means faster).
+
+Honesty harness (round-2 redesign). The TPU is reached through the axon
+relay, which (a) confirms `block_until_ready` without real execution —
+externally timed per-call latencies report physically impossible TFLOP/s
+(calibrated: a 4096^3 bf16 matmul "measures" 0.09 ms = 1480 TFLOP/s on a
+197 TFLOP/s chip) — and (b) has a ~35-40 ms synchronous round-trip, so
+timing one call with a value readback mostly measures the tunnel.
+
+The harness therefore measures *on-device* time by construction:
+  * K iterations are chained INSIDE one jitted program
+    (`lax.fori_loop`), each consuming a scalar derived from the previous
+    iteration's output, so the device must execute them serially;
+  * completion is forced by reading back the final scalar (real D2H);
+  * two chain lengths K1 < K2 are timed and differenced:
+    per_iter = (t(K2) - t(K1)) / (K2 - K1), cancelling the round-trip
+    and any constant overhead;
+  * implied TFLOP/s is computed from XLA's own cost analysis and the
+    run FAILS LOUDLY if it exceeds the chip's physical bf16 peak;
+  * BENCH_MODE=calibrate times a known-FLOPs matmul through the same
+    harness (measured: ~3.5 ms = 39 TFLOP/s, physically sensible).
 
 Env knobs (defaults chosen for the driver run):
     BENCH_BACKEND   xla | pallas   (cost-volume path; default pallas)
     BENCH_BATCH     batch size     (default 1; latency still /frame)
-    BENCH_ITERS     timed iterations (default 20)
-    BENCH_MODE      infer | train  (train = full jitted train step,
-                    XLA backend, batch default 16; reports ms/step)
+    BENCH_REPEATS   timing repeats per chain length (default 3)
+    BENCH_K1/K2     chain lengths  (default 2 / 10)
+    BENCH_MODE      infer | train | calibrate
+                    (train = full jitted train step, batch default 16;
+                     reports ms/step)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-BASELINE_MS = 70.0  # hero model, fast cost volume, A100, batch 1
+BASELINE_B1_MS = 70.0   # hero, fast cost volume, A100, batch 1
+BASELINE_B8_MS = 40.0   # hero, A100, batch 8, per frame
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e physical peak
+
+
+def _check_implied_tflops(flops: float | None, ms: float, label: str):
+    """Fail loudly if the measurement implies super-physical throughput."""
+    if not flops:
+        print(f"# {label}: no cost analysis available; "
+              "skipping peak check", file=sys.stderr)
+        return None
+    tflops = flops / (ms * 1e-3) / 1e12
+    if tflops > PEAK_BF16_TFLOPS:
+        raise SystemExit(
+            f"BENCH INVALID: {label} implies {tflops:.1f} TFLOP/s "
+            f"> physical peak {PEAK_BF16_TFLOPS} TFLOP/s — the "
+            "measurement is not timing real execution.")
+    return tflops
+
+
+def _cost_flops(jitted, *args) -> float | None:
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _timed_readback(fn, *args, repeats: int) -> float:
+    """Median wall time of fn(*args) + scalar readback, in ms."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(out)  # real D2H readback: forces execution through the relay
+        times.append((time.perf_counter() - t0) * 1e3)
+    return sorted(times)[len(times) // 2]
+
+
+def _two_point_per_iter_ms(make_chain, args, k1: int, k2: int,
+                           repeats: int) -> float:
+    """Times chains of length k1 and k2 and differences them, cancelling
+    the relay round-trip and constant dispatch overhead."""
+    chain1 = jax.jit(make_chain(k1))
+    chain2 = jax.jit(make_chain(k2))
+    # warmup/compile both
+    float(chain1(*args))
+    float(chain2(*args))
+    t1 = _timed_readback(chain1, *args, repeats=repeats)
+    t2 = _timed_readback(chain2, *args, repeats=repeats)
+    per_iter = (t2 - t1) / (k2 - k1)
+    if per_iter <= 0:
+        raise SystemExit(
+            f"BENCH INVALID: non-positive per-iteration time "
+            f"({t1:.3f} ms @K={k1}, {t2:.3f} ms @K={k2}) — chains are "
+            "not executing serially.")
+    return per_iter
 
 
 def build(backend: str, batch: int):
@@ -40,7 +122,13 @@ def build(backend: str, batch: int):
         opts.feature_volume_type = "simple_cost_volume"
     model = build_depth_model(opts)
 
+    import numpy as np
     data = make_example_batch(opts, batch_size=batch)
+    rng_np = np.random.RandomState(0)
+    data["cur"]["image_b3hw"] = rng_np.randn(
+        *data["cur"]["image_b3hw"].shape).astype("float32")
+    data["src"]["image_b3hw"] = rng_np.randn(
+        *data["src"]["image_b3hw"].shape).astype("float32")
     data = jax.tree_util.tree_map(jnp.asarray, data)
 
     # jit the init: eager init dispatches thousands of ops individually,
@@ -50,31 +138,62 @@ def build(backend: str, batch: int):
                                                     train=False))
     variables = init(jax.random.PRNGKey(0), data["cur"], data["src"])
 
-    @jax.jit
-    def forward(variables, cur, src):
+    def forward_once(variables, cur, src, token, idx):
+        cur = dict(cur)
+        # the token chains iterations (device-side dataflow dependency);
+        # idx keeps every iteration's input bit-distinct even after
+        # bf16 casts
+        cur["image_b3hw"] = cur["image_b3hw"] + token \
+            + idx * jnp.float32(0.01)
         out = model.apply(variables, cur, src, flip=False, train=False)
-        return out["depth_pred_s0_bhw1"]
+        depth = out["depth_pred_s0_bhw1"]
+        return jnp.mean(depth.astype(jnp.float32)) * jnp.float32(1e-4)
 
-    return forward, variables, data
+    def make_chain(k: int):
+        def chain(variables, cur, src):
+            def body(i, token):
+                return forward_once(variables, cur, src, token,
+                                    i.astype(jnp.float32))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return chain
 
-
-def time_forward(forward, variables, data, iters: int) -> float:
-    forward(variables, data["cur"], data["src"]).block_until_ready()
-    for _ in range(3):
-        forward(variables, data["cur"], data["src"]).block_until_ready()
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, data["cur"], data["src"])
-    out.block_until_ready()
-    return (time.perf_counter() - start) / iters * 1e3
+    return make_chain, (variables, data["cur"], data["src"])
 
 
-def bench_train(batch: int, iters: int):
-    """Full jitted train step (fwd + bwd + AdamW) on one chip.
+def bench_infer(backend: str, batch: int, k1: int, k2: int, repeats: int):
+    make_chain, args = build(backend, batch)
+    per_iter_ms = _two_point_per_iter_ms(make_chain, args, k1, k2, repeats)
+
+    # FLOPs of one forward, from XLA's cost analysis of the K=1 chain
+    flops = _cost_flops(jax.jit(make_chain(1)), *args)
+    tflops = _check_implied_tflops(flops, per_iter_ms,
+                                   f"hero_b{batch}_{backend}")
+    ms = per_iter_ms / batch  # per frame
+
+    model_name = ("dot_product"
+                  if os.environ.get("BENCH_MODEL") == "dot_product"
+                  else "hero")
+    baseline = BASELINE_B1_MS if batch < 8 else BASELINE_B8_MS
+    record = {
+        "metric":
+            f"{model_name}_depth_latency_512x384_b{batch}_{backend}",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline / ms, 3),
+    }
+    if tflops is not None:
+        record["implied_tflops"] = round(tflops, 1)
+    print(json.dumps(record))
+
+
+def bench_train(batch: int, k1: int, k2: int, repeats: int):
+    """Full jitted train step (fwd + bwd + AdamW) on one chip, K steps
+    chained in one program (state threads through, so every step
+    genuinely executes).
 
     Baseline: the reference trains 110k steps at global batch 16 in
-    ~36 h on 2x A100 (README.md:86-92) = ~1.18 s per batch-16 step per
-    GPU-pair; vs_baseline is that 1180 ms over our ms/step."""
+    ~36 h on 2x A100 (README.md:86-92) = ~1.18 s per batch-16 step;
+    vs_baseline is that 1180 ms over our ms/step."""
     import numpy as np
 
     from simplerecon_tpu.models.depth_model import build_depth_model
@@ -97,51 +216,80 @@ def bench_train(batch: int, iters: int):
         1 + rng_np.rand(*host["src"]["depth_bkhw"].shape)).astype("float32")
     data = jax.tree_util.tree_map(jnp.asarray, host)
 
-    state = init_train_state(model, optimizer, jax.random.PRNGKey(0),
-                             host)
-    step = jax.jit(train_step_fn(model, optimizer), donate_argnums=(0,))
-    rng = jax.random.PRNGKey(1)
+    state0 = init_train_state(model, optimizer, jax.random.PRNGKey(0),
+                              host)
+    step = train_step_fn(model, optimizer)
 
-    state, m = step(state, data, rng)
-    jax.block_until_ready(m["loss"])
-    start = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, data, rng)
-    jax.block_until_ready(m["loss"])
-    return (time.perf_counter() - start) / iters * 1e3
+    def make_chain(k: int):
+        def chain(state, data, rng):
+            def body(i, carry):
+                st, _ = carry
+                st, metrics = step(st, data, jax.random.fold_in(rng, i))
+                return (st, metrics["loss"])
+            _, loss = jax.lax.fori_loop(0, k, body,
+                                        (state, jnp.float32(0.0)))
+            return loss
+        return chain
+
+    args = (state0, data, jax.random.PRNGKey(1))
+    per_step_ms = _two_point_per_iter_ms(make_chain, args, k1, k2, repeats)
+    print(json.dumps({
+        "metric": f"hero_train_step_512x384_b{batch}",
+        "value": round(per_step_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(1180.0 / per_step_ms, 3),
+    }))
+
+
+def bench_calibrate(k1: int, k2: int, repeats: int):
+    """Times a known-FLOPs bf16 matmul through the chained harness and
+    reports implied TFLOP/s — must come out <= the physical peak."""
+    n = 4096
+    flops_per_iter = 2.0 * n * n * n  # 137.4 GFLOP
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+
+    def make_chain(k: int):
+        def chain(a, b):
+            def body(i, token):
+                a2 = a + (token + i.astype(jnp.float32) * 0.11
+                          ).astype(jnp.bfloat16)
+                c = a2 @ b
+                return jnp.mean(c.astype(jnp.float32)) * jnp.float32(1e-9)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return chain
+
+    per_iter_ms = _two_point_per_iter_ms(make_chain, (a, b), k1, k2,
+                                         repeats)
+    tflops = flops_per_iter / (per_iter_ms * 1e-3) / 1e12
+    if tflops > PEAK_BF16_TFLOPS:
+        raise SystemExit(
+            f"CALIBRATION INVALID: {tflops:.1f} TFLOP/s > peak "
+            f"{PEAK_BF16_TFLOPS} — harness is not timing real work.")
+    print(json.dumps({
+        "metric": f"calibration_matmul_{n}",
+        "value": round(per_iter_ms, 3),
+        "unit": "ms",
+        "vs_baseline": 1.0,
+        "implied_tflops": round(tflops, 1),
+    }))
 
 
 def main():
-    # measured on one TPU chip (2026-08-16): pallas 0.664 ms, xla 0.741 ms
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     mode = os.environ.get("BENCH_MODE", "infer")
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    k1 = int(os.environ.get("BENCH_K1", "2"))
+    k2 = int(os.environ.get("BENCH_K2", "10"))
 
-    if mode == "train":
+    if mode == "calibrate":
+        bench_calibrate(k1, k2, repeats)
+    elif mode == "train":
         batch = int(os.environ.get("BENCH_BATCH", "16"))
-        ms = bench_train(batch, iters)
-        print(json.dumps({
-            "metric": f"hero_train_step_512x384_b{batch}",
-            "value": round(ms, 3),
-            "unit": "ms",
-            "vs_baseline": round(1180.0 / ms, 3),
-        }))
-        return
-
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    forward, variables, data = build(backend, batch)
-    ms_total = time_forward(forward, variables, data, iters)
-    ms = ms_total / batch  # per frame
-
-    model_name = ("dot_product"
-                  if os.environ.get("BENCH_MODEL") == "dot_product"
-                  else "hero")
-    print(json.dumps({
-        "metric": f"{model_name}_depth_latency_512x384_b{batch}_{backend}",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / ms, 3),
-    }))
+        bench_train(batch, k1, k2, repeats)
+    else:
+        batch = int(os.environ.get("BENCH_BATCH", "1"))
+        bench_infer(backend, batch, k1, k2, repeats)
 
 
 if __name__ == "__main__":

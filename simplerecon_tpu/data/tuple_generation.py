@@ -215,106 +215,185 @@ def generate_test_tuples_for_scan(dataset, scan: str,
 def gather_pairs_train(poses, used_pairs, is_backward: bool,
                        initial_pose_dist_min: float,
                        initial_pose_dist_max: float) -> List:
-    """Greedy chain crawl (`generate_train_tuples.py:55-138`)."""
+    """Greedy 2-frame pairing with distance-loosening, an exact port of
+    DVMVS's crawl (`generate_train_tuples.py:55-138`): walk the sequence
+    from one end; for each reference i, first look backward (toward the
+    walk origin), then forward; when nothing matches, loosen the
+    distance window by 1.1x once before giving up on i."""
     sequence_length = len(poses)
-    while_range = (range(0, sequence_length) if not is_backward
-                   else range(sequence_length - 1, -1, -1))
-    pairs = []
+    while_range = range(0, sequence_length)
+
     pose_dist_min = initial_pose_dist_min
     pose_dist_max = initial_pose_dist_max
     used_measurement_indices = set()
 
     check_future = False
-    for i in while_range:
-        if poses[i] is None or not np.isfinite(poses[i]).all():
-            continue
-        candidates = (range(i + 1, sequence_length) if not is_backward
-                      else range(i - 1, -1, -1))
+    pairs = []
+
+    if is_backward:
+        i = sequence_length - 1
+        step = -1
+        first_limit = 5
+        second_limit = sequence_length - 5
+    else:
+        i = 0
+        step = 1
+        first_limit = sequence_length - 5
+        second_limit = 5
+
+    loosening_counter = 0
+    while i in while_range:
+        pair = (i, -1)
+        if check_future:
+            candidates = range(i + step, first_limit, step)
+        else:
+            candidates = range(i - step, second_limit, -step)
         for j in candidates:
-            if poses[j] is None or not np.isfinite(poses[j]).all():
+            if j in used_measurement_indices or (i, j) in used_pairs:
                 continue
-            if (i, j) in used_pairs:
-                continue
-            ok = is_valid_pair(poses[i], poses[j], pose_dist_min,
-                               pose_dist_max)
-            if ok:
-                pairs.append((i, j))
-                used_pairs.add((i, j))
+            if is_valid_pair(poses[i], poses[j], pose_dist_min,
+                             pose_dist_max):
+                pair = (i, j)
+                pairs.append(pair)
+                used_pairs.add(pair)
                 used_pairs.add((j, i))
                 used_measurement_indices.add(j)
+                pose_dist_min = initial_pose_dist_min
+                pose_dist_max = initial_pose_dist_max
+                i += step
+                check_future = False
+                loosening_counter = 0
                 break
+
+        if pair[1] == -1:
+            if check_future:
+                pose_dist_min = pose_dist_min / 1.1
+                pose_dist_max = pose_dist_max * 1.1
+                check_future = False
+                loosening_counter += 1
+                if loosening_counter > 1:
+                    i += step
+                    loosening_counter = 0
+            else:
+                check_future = True
+        else:
+            check_future = False
+
     return pairs
 
 
-def crawl_subsequences_train(poses, subsequence_length: int,
-                             max_used: int = 2) -> List[List[int]]:
-    """Builds N-frame chains with node-usage caps
-    (`generate_train_tuples.py:280-364`): 10 crawl passes over
-    (offset, multiplier, direction), each chaining valid pairs."""
-    sequence_length = len(poses)
-    samples = []
-    usage = np.zeros(sequence_length, np.int32)
-    crawl_settings = []
-    for multiplier in (1.0, 0.666, 1.5, 0.8, 1.25):
-        for backward in (False, True):
-            crawl_settings.append((multiplier, backward))
+# the reference's 10 crawl passes (`generate_train_tuples.py:291-300`):
+# offsets cycle mod train_crawl_step, directions alternate, multipliers
+# scale the DVMVS pose-distance window
+_TRAIN_CRAWL_PASSES = [(0, 1.0, False), (1, 0.666, True), (2, 1.5, False),
+                       (0, 0.8, True), (1, 1.25, False), (2, 1.0, True),
+                       (0, 0.666, False), (1, 1.5, True), (2, 0.8, False),
+                       (0, 1.25, True)]
 
-    for multiplier, backward in crawl_settings:
-        dist_min = DVMVS_Config.train_minimum_pose_distance * multiplier
-        dist_max = DVMVS_Config.train_maximum_pose_distance * multiplier
-        order = (range(sequence_length) if not backward
-                 else range(sequence_length - 1, -1, -1))
-        for start in order:
-            if poses[start] is None or \
-                    not np.isfinite(poses[start]).all():
+
+def crawl_subsequences_train(poses, subsequence_length: int
+                             ) -> List[List[int]]:
+    """N-frame chain crawl, an exact port of DVMVS's
+    `crawl_subprocess_long` (`generate_train_tuples.py:280-364`):
+    10 (offset, multiplier, direction) passes; starts step by
+    `train_crawl_step`; chains grow by walking outward one frame at a
+    time from the start, accepting frames that pass node-usage,
+    pair-reuse, and the multiplier-scaled pose-distance test (with
+    t_norm_threshold = multiplier * dist_min * 0.5); chains that hit the
+    sequence boundary before filling are discarded."""
+    sequence_length = len(poses)
+    used_pairs = set()
+    usage_threshold = 1
+    used_nodes = {i: 0 for i in range(sequence_length)}
+    calculated_step = DVMVS_Config.train_crawl_step
+    samples: List[List[int]] = []
+
+    for offset, multiplier, is_backward in _TRAIN_CRAWL_PASSES:
+        offset = offset % calculated_step
+        if is_backward:
+            start = sequence_length - 1 - offset
+            step = -calculated_step
+            limit = subsequence_length
+        else:
+            start = offset
+            step = calculated_step
+            limit = sequence_length - subsequence_length + 1
+
+        dist_min = multiplier * DVMVS_Config.train_minimum_pose_distance
+        dist_max = multiplier * DVMVS_Config.train_maximum_pose_distance
+        t_thresh = multiplier * \
+            DVMVS_Config.train_minimum_pose_distance * 0.5
+
+        for i in range(start, limit, step):
+            if used_nodes[i] > usage_threshold:
                 continue
-            if usage[start] >= max_used:
-                continue
-            chain = [start]
-            cur = start
-            while len(chain) < subsequence_length:
-                nxt = None
-                candidates = (range(cur + 1, sequence_length)
-                              if not backward else range(cur - 1, -1, -1))
-                for j in candidates:
-                    if poses[j] is None or \
-                            not np.isfinite(poses[j]).all():
-                        continue
-                    if usage[j] >= max_used or j in chain:
-                        continue
-                    if is_valid_pair(poses[cur], poses[j], dist_min,
-                                     dist_max):
-                        nxt = j
-                        break
-                if nxt is None:
+            indices = [i]
+            previous_index = i
+            valid_counter = 1
+            any_counter = 1
+            reached_sequence_limit = False
+            while valid_counter < subsequence_length:
+                j = i - any_counter if is_backward else i + any_counter
+                reached_sequence_limit = (j < 0 if is_backward
+                                          else j >= sequence_length)
+                if reached_sequence_limit:
                     break
-                chain.append(nxt)
-                cur = nxt
-            if len(chain) == subsequence_length:
-                for j in chain:
-                    usage[j] += 1
-                samples.append(chain)
+                if (used_nodes[j] <= usage_threshold
+                        and (previous_index, j) not in used_pairs
+                        and is_valid_pair(poses[previous_index], poses[j],
+                                          dist_min, dist_max,
+                                          t_norm_threshold=t_thresh)):
+                    indices.append(j)
+                    previous_index = j
+                    valid_counter += 1
+                any_counter += 1
+
+            if not reached_sequence_limit:
+                previous_node = indices[0]
+                used_nodes[previous_node] += 1
+                for current_node in indices[1:]:
+                    used_nodes[current_node] += 1
+                    used_pairs.add((previous_node, current_node))
+                    used_pairs.add((current_node, previous_node))
+                    previous_node = current_node
+                samples.append(indices)
     return samples
 
 
 def generate_train_tuples_for_scan(dataset, scan: str,
                                    num_images_in_tuple: int) -> List[str]:
-    """Train tuples for one scan: chains of keyframe-spaced frames; the
-    middle frame is the reference (DVMVS convention,
-    `generate_train_tuples.py:280-364`)."""
+    """Train tuples for one scan. The exported order is the chain order
+    with the chain START first — frame_id_0 is the reference frame, as
+    in the reference's export (`generate_train_tuples.py:366-374`,
+    docstring `:1-8`).
+
+    A 2-frame request routes to the `gather_pairs_train` crawl, like the
+    reference's `crawl_subprocess_short` (`:140-219`; its export used a
+    nonexistent dataset method — a latent dead-path bug — which we fix
+    by mapping through valid-frame ids)."""
     valid_frames = dataset.get_valid_frame_ids(dataset.split, scan)
     frame_ids = [line.strip().split(" ")[1] for line in valid_frames]
     poses = [dataset.load_pose(scan.rstrip("\n"), fid)[0]
              for fid in frame_ids]
 
-    chains = crawl_subsequences_train(poses, num_images_in_tuple)
+    if num_images_in_tuple == 2:
+        used_pairs: set = set()
+        chains = []
+        for multiplier, backward in [(1.0, False), (0.666, True),
+                                     (1.5, False)]:
+            pairs = gather_pairs_train(
+                poses, used_pairs, is_backward=backward,
+                initial_pose_dist_min=(
+                    multiplier * DVMVS_Config.train_minimum_pose_distance),
+                initial_pose_dist_max=(
+                    multiplier * DVMVS_Config.train_maximum_pose_distance))
+            chains.extend([i, j] for i, j in pairs)
+    else:
+        chains = crawl_subsequences_train(poses, num_images_in_tuple)
+
     lines = []
     for chain in chains:
-        # reference = middle of the chain, sources = the rest, matching
-        # the reference's export ordering
-        middle = len(chain) // 2
-        ordered = [chain[middle]] + chain[:middle] + chain[middle + 1:]
-        ids = " ".join(str(frame_ids[i]) for i in ordered)
+        ids = " ".join(str(frame_ids[i]) for i in chain)
         lines.append(f"{scan} {ids}")
     return lines
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,29 +52,59 @@ class OurFuser(DepthFuser):
         if bounds_3x2 is None and gt_path:
             from simplerecon_tpu.fusion.mesh import read_ply
             verts, _ = read_ply(gt_path)
-            tsdf = TSDF.from_mesh(verts, fusion_resolution)
+            tsdf = TSDF.from_mesh(verts, fusion_resolution,
+                                  with_color=fuse_color)
         elif bounds_3x2 is not None:
-            tsdf = TSDF.from_bounds(bounds_3x2, fusion_resolution)
+            tsdf = TSDF.from_bounds(bounds_3x2, fusion_resolution,
+                                    with_color=fuse_color)
         else:
             # the reference's fallback +-10 m box (`tools/tsdf.py:96-100`)
             tsdf = TSDF.from_bounds(np.array([[-10.0, 10.0]] * 3),
-                                    fusion_resolution)
+                                    fusion_resolution,
+                                    with_color=fuse_color)
         self.fuser = TSDFFuser(tsdf, max_depth=max_fusion_depth)
 
     def fuse_frames(self, depths_b1hw, K_b44, cam_T_world_b44,
                     color_b3hw=None):
+        """Integrates depth (and RGB when color fusion is enabled).
+
+        As in the reference's color fuser (`tools/fusers_helper.py:125-141`),
+        `color_b3hw` arrives imagenet-normalized at any resolution; it is
+        resized to the depth resolution and un-normalized to [0,1] here."""
+        if not self.fuse_color:
+            color_b3hw = None
+        elif color_b3hw is not None:
+            from simplerecon_tpu.ops.image import reverse_imagenet_normalize
+            color = jnp.asarray(color_b3hw, jnp.float32)
+            h, w = np.asarray(depths_b1hw).shape[-2:]
+            if color.shape[-2:] != (h, w):
+                color = jax.image.resize(
+                    color, color.shape[:-2] + (h, w), method="bilinear")
+            color_b3hw = jnp.clip(
+                reverse_imagenet_normalize(
+                    color.transpose(0, 2, 3, 1)
+                ).transpose(0, 3, 1, 2), 0.0, 1.0)
         self.fuser.integrate_depth(
             jnp.asarray(depths_b1hw, jnp.float32),
             jnp.asarray(cam_T_world_b44, jnp.float32),
-            jnp.asarray(K_b44, jnp.float32))
+            jnp.asarray(K_b44, jnp.float32),
+            color_b3hw=color_b3hw)
 
-    def get_mesh(self) -> Tuple[np.ndarray, np.ndarray]:
+    def get_mesh(self, include_colors: bool = False):
+        """(verts, faces) or, with `include_colors`, (verts, faces,
+        colors-or-None)."""
+        if include_colors:
+            return self.fuser.tsdf.to_mesh(return_colors=True)
         return self.fuser.tsdf.to_mesh()
 
     def export_mesh(self, path: str):
         from simplerecon_tpu.fusion.mesh import write_ply
-        verts, faces = self.get_mesh()
-        write_ply(path, verts, faces)
+        if self.fuse_color:
+            verts, faces, colors = self.get_mesh(include_colors=True)
+            write_ply(path, verts, faces, colors=colors)
+        else:
+            verts, faces = self.get_mesh()
+            write_ply(path, verts, faces)
         return path
 
 
@@ -86,6 +117,8 @@ def get_fuser(opts, scan_gt_path: str = "",
             gt_path=scan_gt_path,
             fusion_resolution=opts.fusion_resolution,
             max_fusion_depth=opts.fusion_max_depth,
-            fuse_color=opts.fuse_color and opts.depth_fuser == "open3d",
+            # the reference only fuses color via Open3D; our TSDF fuses
+            # RGB natively, so `fuse_color` works for either fuser name
+            fuse_color=opts.fuse_color,
             bounds_3x2=bounds_3x2)
     raise ValueError(f"unknown depth fuser {opts.depth_fuser!r}")

@@ -40,7 +40,7 @@ def _consistency_pass(depths_fhw, world_T_cam_f44, cam_T_world_f44,
     pts_world = geo.transform_points(world_T_cam_f44[ref_index][None],
                                      pts_cam[None])[0]
 
-    def per_view(cam_T_world_44, K_44, depth_hw):
+    def per_view(world_T_cam_44, cam_T_world_44, K_44, invK_44, depth_hw):
         uvz = geo.project_points(pts_world[None], K_44[None],
                                  cam_T_world_44[None])[0]
         u, v, z = uvz[..., 0], uvz[..., 1], uvz[..., 2]
@@ -50,13 +50,36 @@ def _consistency_pass(depths_fhw, world_T_cam_f44, cam_T_world_f44,
         sampled = depth_hw[vi, ui]
         ok = inside & jnp.isfinite(sampled) & (sampled > 0) \
             & (jnp.abs(z - sampled) < z_thresh)
-        return ok, jnp.where(ok, sampled, 0.0)
+        # world-space point implied by the *sampled* source depth at the
+        # reprojected pixel — these get averaged with the ref point,
+        # matching `torch_point_cloud_fusion.py:72-91`
+        z_s = jnp.where(ok, sampled, 0.0)
+        pix_h = jnp.stack([u * z_s, v * z_s, z_s,
+                           jnp.ones_like(z_s)], axis=-1)
+        cam_pt = (invK_44 @ pix_h.T).T[..., :3]
+        cam_pt = jnp.concatenate(
+            [cam_pt, jnp.ones_like(cam_pt[..., :1])], axis=-1)
+        world_pt = (world_T_cam_44 @ cam_pt.T).T[..., :3]
+        finite = jnp.all(jnp.isfinite(world_pt), axis=-1)
+        ok = ok & finite
+        world_pt = jnp.where((ok & finite)[..., None], world_pt, 0.0)
+        return ok, world_pt
 
-    ok_fN, z_fN = jax.vmap(per_view)(cam_T_world_f44, K_f44, depths_fhw)
+    ok_fN, sample_fN3 = jax.vmap(per_view)(
+        world_T_cam_f44, cam_T_world_f44, K_f44, invK_f44, depths_fhw)
+    # drop the ref frame's trivial self-match from the consistency count
+    # (the reference iterates src frames only, `torch_point_cloud_fusion.py:106-108`)
+    not_ref = (jnp.arange(f) != ref_index)
+    ok_fN = ok_fN & not_ref[:, None]
     count = jnp.sum(ok_fN.astype(jnp.int32), axis=0)
     keep = (count >= n_consistent) & jnp.isfinite(ref_depth.reshape(-1)) \
         & (ref_depth.reshape(-1) > 0)
-    return pts_world, keep, count
+    # average the consistent samples together with the ref point
+    # (`torch_point_cloud_fusion.py:83-91`: pts_avg = (pts + sum) / (n+1))
+    sums = jnp.sum(sample_fN3 * ok_fN[..., None], axis=0)
+    pts_avg = (pts_world + sums) / (count[..., None].astype(jnp.float32)
+                                    + 1.0)
+    return pts_avg, keep, count
 
 
 def voxel_downsample(points_N3: np.ndarray, voxel: float,

@@ -89,27 +89,58 @@ class TSDF:
         return (np.asarray(self.values, np.float32),
                 np.asarray(self.weights, np.float32))
 
-    def to_mesh(self, scale_to_world: bool = True):
+    def to_mesh(self, scale_to_world: bool = True,
+                return_colors: bool = False):
         """Extracts the zero isosurface with the native marching-cubes
-        kernel. Returns (vertices (V,3) fp32, faces (F,3) int32)."""
+        kernel. Returns (vertices (V,3) fp32, faces (F,3) int32) and,
+        when `return_colors`, per-vertex colors (V,3) fp32 in [0,1]
+        trilinearly sampled from the color grid (None if the volume has
+        no colors)."""
         from simplerecon_tpu.fusion import mesh as mesh_lib
         values, weights = self.to_numpy()
         # unobserved voxels must not generate geometry
         masked = np.where(weights > 0, values, np.nan)
         verts, faces = mesh_lib.marching_cubes(masked, level=0.0)
+        vert_colors = None
+        if return_colors and self.colors is not None:
+            grid = np.asarray(self.colors, np.float32)   # (X, Y, Z, 3)
+            vert_colors = _trilinear_sample(grid, verts)
         if scale_to_world:
             verts = verts * self.voxel_size + self.origin[None]
-        return verts.astype(np.float32), faces
+        verts = verts.astype(np.float32)
+        if return_colors:
+            return verts, faces, vert_colors
+        return verts, faces
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "max_weight"))
-def _integrate_one(values, weights, world_coords_N3, depth_hw,
-                   cam_T_world_44, K_44, truncation, min_depth_m,
-                   max_depth: float = 3.0, max_weight: float = 100.0):
-    """One depth map into the volume. All voxels processed in parallel.
+def _trilinear_sample(grid_xyz3: np.ndarray, pts_v3: np.ndarray
+                      ) -> np.ndarray:
+    """Trilinear interpolation of a (X, Y, Z, C) grid at (V, 3) points in
+    voxel coordinates (host-side numpy, used for mesh vertex colors)."""
+    dims = np.asarray(grid_xyz3.shape[:3])
+    p = np.clip(pts_v3, 0.0, (dims - 1).astype(np.float64) - 1e-6)
+    p0 = np.floor(p).astype(np.int64)
+    f = (p - p0).astype(np.float32)
+    out = np.zeros((len(pts_v3), grid_xyz3.shape[-1]), np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                wx = f[:, 0] if dx else 1.0 - f[:, 0]
+                wy = f[:, 1] if dy else 1.0 - f[:, 1]
+                wz = f[:, 2] if dz else 1.0 - f[:, 2]
+                ix = np.minimum(p0[:, 0] + dx, dims[0] - 1)
+                iy = np.minimum(p0[:, 1] + dy, dims[1] - 1)
+                iz = np.minimum(p0[:, 2] + dz, dims[2] - 1)
+                out += (wx * wy * wz)[:, None] * grid_xyz3[ix, iy, iz]
+    return out
 
-    Mirrors `TSDFFuser.integrate_depth` (`tools/tsdf.py:238-320`).
-    """
+
+def _projective_update(values, weights, world_coords_N3, depth_hw,
+                       cam_T_world_44, K_44, truncation, min_depth_m,
+                       max_depth: float, max_weight: float):
+    """Shared projective-TSDF math: returns the fused values/weights plus
+    the per-voxel sample indices and new-sample weights, so a color
+    variant can reuse them. Mirrors `tools/tsdf.py:238-320`."""
     h, w = depth_hw.shape
     shape = values.shape
 
@@ -152,7 +183,40 @@ def _integrate_one(values, weights, world_coords_N3, depth_hw,
                       old_v)
     new_w = jnp.minimum(denom, max_weight)
     return (fused.reshape(shape).astype(values.dtype),
-            new_w.reshape(shape).astype(weights.dtype))
+            new_w.reshape(shape).astype(weights.dtype),
+            ui_c, vi_c, w_new, old_w, denom)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "max_weight"))
+def _integrate_one(values, weights, world_coords_N3, depth_hw,
+                   cam_T_world_44, K_44, truncation, min_depth_m,
+                   max_depth: float = 3.0, max_weight: float = 100.0):
+    """One depth map into the volume. All voxels processed in parallel."""
+    fused, new_w, *_ = _projective_update(
+        values, weights, world_coords_N3, depth_hw, cam_T_world_44, K_44,
+        truncation, min_depth_m, max_depth, max_weight)
+    return fused, new_w
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "max_weight"))
+def _integrate_one_color(values, weights, colors, world_coords_N3,
+                         depth_hw, color_3hw, cam_T_world_44, K_44,
+                         truncation, min_depth_m, max_depth: float = 3.0,
+                         max_weight: float = 100.0):
+    """Depth + RGB integration: the color grid gets the same weighted
+    running-mean update as the TSDF values, sampled at the same pixel —
+    the capability the reference gets from Open3D's color TSDF
+    (`tools/fusers_helper.py:125-186`)."""
+    fused, new_w, ui_c, vi_c, w_new, old_w, denom = _projective_update(
+        values, weights, world_coords_N3, depth_hw, cam_T_world_44, K_44,
+        truncation, min_depth_m, max_depth, max_weight)
+    c_new = color_3hw[:, vi_c, ui_c].T.astype(jnp.float32)   # (N, 3)
+    old_c = colors.reshape(-1, 3).astype(jnp.float32)
+    fused_c = jnp.where(denom[:, None] > 0,
+                        (old_c * old_w[:, None] + c_new * w_new[:, None])
+                        / jnp.where(denom[:, None] > 0, denom[:, None], 1.0),
+                        old_c)
+    return fused, new_w, fused_c.reshape(colors.shape).astype(colors.dtype)
 
 
 class TSDFFuser:
@@ -168,20 +232,68 @@ class TSDFFuser:
         # voxel centers are precomputed once and live on device
         self._coords = self.tsdf.voxel_coords_world()
 
-    def integrate_depth(self, depth_b1hw, cam_T_world_b44, K_b44):
+    def integrate_depth(self, depth_b1hw, cam_T_world_b44, K_b44,
+                        color_b3hw=None):
         """Integrates a batch of depth maps sequentially (the volume update
-        is order-dependent, as in the reference)."""
+        is order-dependent, as in the reference). When the volume carries
+        a color grid and `color_b3hw` ([0,1] RGB) is given, colors are
+        fused with the same weights."""
         depth = jnp.asarray(depth_b1hw)
         if depth.ndim == 4:
             depth = depth[:, 0]
         cam_T_world_b44 = jnp.asarray(cam_T_world_b44, jnp.float32)
         K_b44 = jnp.asarray(K_b44, jnp.float32)
+        with_color = color_b3hw is not None and self.tsdf.colors is not None
+        if with_color:
+            color_b3hw = jnp.asarray(color_b3hw, jnp.float32)
         values, weights = self.tsdf.values, self.tsdf.weights
+        colors = self.tsdf.colors
         for i in range(depth.shape[0]):
-            values, weights = _integrate_one(
-                values, weights, self._coords, depth[i].astype(jnp.float32),
-                cam_T_world_b44[i], K_b44[i],
+            if with_color:
+                values, weights, colors = self._integrate_color_chunked(
+                    values, weights, colors, depth[i].astype(jnp.float32),
+                    color_b3hw[i], cam_T_world_b44[i], K_b44[i])
+            else:
+                values, weights = _integrate_one(
+                    values, weights, self._coords,
+                    depth[i].astype(jnp.float32),
+                    cam_T_world_b44[i], K_b44[i],
+                    jnp.float32(self.truncation),
+                    jnp.float32(self.min_depth), max_depth=self.max_depth)
+        self.tsdf.values, self.tsdf.weights = values, weights
+        if with_color:
+            self.tsdf.colors = colors
+        return self.tsdf
+
+    # at most ~2M voxels per jitted color-integrate call: the f32
+    # (N, 3) temporaries of the color update OOM HBM on large volumes
+    # (observed: 20 GB requested on a 251^3 fallback-box grid)
+    _COLOR_CHUNK_VOXELS = 2 * 1024 * 1024
+
+    def _integrate_color_chunked(self, values, weights, colors, depth_hw,
+                                 color_3hw, cam_T_world_44, K_44):
+        X, Y, Z = values.shape
+        n = X * Y * Z
+        coords = self._coords.reshape(X, Y, Z, 3)
+        # equal-size chunks along X (one compile, many calls)
+        xc = 1
+        for cand in range(X, 0, -1):
+            if X % cand == 0 and cand * Y * Z <= self._COLOR_CHUNK_VOXELS:
+                xc = cand
+                break
+        out_v, out_w, out_c = [], [], []
+        for x0 in range(0, X, xc):
+            v, w_, c = _integrate_one_color(
+                values[x0:x0 + xc], weights[x0:x0 + xc],
+                colors[x0:x0 + xc],
+                coords[x0:x0 + xc].reshape(-1, 3),
+                depth_hw, color_3hw, cam_T_world_44, K_44,
                 jnp.float32(self.truncation), jnp.float32(self.min_depth),
                 max_depth=self.max_depth)
-        self.tsdf.values, self.tsdf.weights = values, weights
-        return self.tsdf
+            out_v.append(v)
+            out_w.append(w_)
+            out_c.append(c)
+        del n
+        return (jnp.concatenate(out_v, axis=0),
+                jnp.concatenate(out_w, axis=0),
+                jnp.concatenate(out_c, axis=0))

@@ -146,10 +146,16 @@ def compute_losses(cur_data: Dict[str, jnp.ndarray],
             jnp.abs(jnp.where(mask_b, log_depth_gt - pred_i, 0.0)), mask_b
         ) / (2 ** i)
 
-    # GT depth can carry NaNs outside the valid mask; zero them so pyramids
-    # and gradients stay finite where it matters.
+    # The gradient loss must see NaN (not zero) outside the valid mask:
+    # the blur-pool pyramid dilates the NaN region at each scale and the
+    # finite-mask in ms_gradient_loss then excludes every pixel whose
+    # gradient touched invalid GT — matching the reference
+    # (`/root/reference/losses.py:26-36`), which propagates NaN through
+    # pyrdown instead of training against artificial zero-edges.
+    depth_gt_nan = jnp.where(mask_b, depth_gt, jnp.nan)
+    grad_loss = ms_gradient_loss(depth_gt_nan, depth_pred)
+    # Other consumers (mv_loss projection) need finite values instead.
     depth_gt_clean = jnp.where(mask_b, depth_gt, 0.0)
-    grad_loss = ms_gradient_loss(depth_gt_clean, depth_pred)
     abs_loss = masked_mean(jnp.abs(jnp.where(mask_b, depth_gt - depth_pred,
                                              0.0)), mask_b)
     si_loss = scale_invariant_loss(safe_log_gt, log_depth_pred, mask_b)

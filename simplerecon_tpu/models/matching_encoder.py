@@ -97,13 +97,11 @@ class ResnetMatchingEncoder(nn.Module):
         return instance_norm(x.astype(jnp.float32)).astype(x.dtype)
 
 
-class _InvertedResidual(nn.Module):
-    """MobileNet-style inverted residual (depthwise separable) block —
-    the building block of the mnasnet backbone the reference's
-    `UNetMatchingEncoder` uses (`modules/networks.py:207-228`)."""
-    planes: int
-    stride: int = 1
-    expansion: int = 3
+class _MnasDsConv(nn.Module):
+    """timm DepthwiseSeparableConv (mnasnet blocks.0.0): dw 3x3/1 -> BN ->
+    ReLU -> pw 1x1 -> BN, no skip. Param names follow timm's state dict
+    (conv_dw/bn1/conv_pw/bn2) so reference checkpoints map 1:1."""
+    out_ch: int
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -112,27 +110,77 @@ class _InvertedResidual(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, name=name, dtype=self.dtype)(h)
 
-        mid = x.shape[-1] * self.expansion
-        h = nn.Conv(mid, (1, 1), use_bias=False, name="expand",
+        c = x.shape[-1]
+        h = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=c, use_bias=False, name="conv_dw",
                     dtype=self.dtype)(x)
-        h = jax.nn.relu(bn(h, "bn0"))
-        h = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), feature_group_count=mid,
-                    use_bias=False, name="dw", dtype=self.dtype)(h)
         h = jax.nn.relu(bn(h, "bn1"))
-        h = nn.Conv(self.planes, (1, 1), use_bias=False, name="project",
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="conv_pw",
                     dtype=self.dtype)(h)
-        h = bn(h, "bn2")
-        if self.stride == 1 and x.shape[-1] == self.planes:
+        return bn(h, "bn2")
+
+
+class _MnasIR(nn.Module):
+    """timm InvertedResidual as used by mnasnet_100: pw expand -> BN ->
+    ReLU -> dw kxk/s -> BN -> ReLU -> pw linear -> BN (+skip when
+    stride 1 and channels match). Names match timm's state dict
+    (conv_pw/bn1/conv_dw/bn2/conv_pwl/bn3)."""
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    exp_ratio: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name, dtype=self.dtype)(h)
+
+        mid = x.shape[-1] * self.exp_ratio
+        pad = self.kernel // 2
+        h = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw",
+                    dtype=self.dtype)(x)
+        h = jax.nn.relu(bn(h, "bn1"))
+        h = nn.Conv(mid, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)), feature_group_count=mid,
+                    use_bias=False, name="conv_dw", dtype=self.dtype)(h)
+        h = jax.nn.relu(bn(h, "bn2"))
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="conv_pwl",
+                    dtype=self.dtype)(h)
+        h = bn(h, "bn3")
+        if self.stride == 1 and x.shape[-1] == self.out_ch:
             h = h + x
         return h
 
 
+# mnasnet_b1 arch (timm `_gen_mnasnet_b1`): per stage a list of
+# (repeats, kernel, stride, expansion, out_ch). Stage 0 is the
+# depthwise-separable block.
+_MNASNET_B1_STAGES = (
+    (3, 3, 2, 3, 24),    # blocks.1  -> feat_1 (stride 4)
+    (3, 5, 2, 3, 40),    # blocks.2  -> feat_2 (stride 8)
+    (3, 5, 2, 6, 80),    # blocks.3
+    (2, 3, 1, 6, 96),    # blocks.4  -> feat_3 (stride 16)
+    (4, 5, 2, 6, 192),   # blocks.5
+    (1, 3, 1, 6, 320),   # blocks.6  -> feat_4 (stride 32)
+)
+
+
 class UNetMatchingEncoder(nn.Module):
-    """FPN matching encoder (`modules/networks.py:207-228`): a light
-    mnasnet-style pyramid + top-down FPN(32) + the same projection head,
-    producing `num_ch_out` features at 1/4 input resolution. The slower /
-    more accurate `matching_encoder_type: unet_encoder` option."""
+    """FPN matching encoder, faithful to the reference
+    (`modules/networks.py:207-228`): timm `mnasnet_100` features_only
+    (5 levels, channels [16, 24, 40, 96, 320], strides 2..32) + the
+    torchvision 0.11 `FeaturePyramidNetwork(out_channels=32)` top-down
+    path, reading the stride-4 `feat_1` output, then
+    LeakyReLU(0.2) -> 1x1 conv -> InstanceNorm to `num_ch_out`.
+
+    Only the FPN levels on the path to `feat_1` are instantiated
+    (inner 1..4 + layer 1); torchvision computes the other outputs too
+    but they are unused by the reference model. Parameter names mirror
+    the torch state dicts so `convert_reference_checkpoint` maps them
+    directly."""
     num_ch_out: int = 16
     fpn_channels: int = 32
     dtype: jnp.dtype | None = None
@@ -144,32 +192,41 @@ class UNetMatchingEncoder(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, name=name, dtype=self.dtype)(h)
 
-        # bottom-up pyramid: strides 2, 4, 8, 16
-        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                    use_bias=False, name="stem", dtype=self.dtype)(image_bhw3)
-        x = jax.nn.relu(bn(x, "stem_bn"))
-        c1 = _InvertedResidual(16, 1, 1, self.dtype, name="b1")(x, train)
-        c2 = _InvertedResidual(24, 2, 3, self.dtype, name="b2")(c1, train)
-        c2 = _InvertedResidual(24, 1, 3, self.dtype, name="b2b")(c2, train)
-        c3 = _InvertedResidual(40, 2, 3, self.dtype, name="b3")(c2, train)
-        c3 = _InvertedResidual(40, 1, 3, self.dtype, name="b3b")(c3, train)
-        c4 = _InvertedResidual(96, 2, 6, self.dtype, name="b4")(c3, train)
-        c4 = _InvertedResidual(96, 1, 6, self.dtype, name="b4b")(c4, train)
+        # --- mnasnet_100 bottom-up ---
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="conv_stem",
+                    dtype=self.dtype)(image_bhw3)
+        x = jax.nn.relu(bn(x, "bn1"))
+        x = _MnasDsConv(16, dtype=self.dtype, name="blocks_0_0")(x, train)
 
-        # top-down FPN to 1/4 resolution
+        feats = [x]  # feat_0, stride 2
+        for s, (repeats, k, stride, exp, out_ch) in enumerate(
+                _MNASNET_B1_STAGES, start=1):
+            for b in range(repeats):
+                x = _MnasIR(out_ch, kernel=k, stride=stride if b == 0 else 1,
+                            exp_ratio=exp, dtype=self.dtype,
+                            name=f"blocks_{s}_{b}")(x, train)
+            if s in (1, 2, 4, 6):  # timm feature_info out points
+                feats.append(x)
+        # feats: stride 2/4/8/16/32, channels 16/24/40/96/320
+
+        # --- torchvision FeaturePyramidNetwork top-down to feat_1 ---
         f = self.fpn_channels
-        p4 = conv1x1(f, use_bias=True, name="lat4", dtype=self.dtype)(c4)
-        p3 = conv1x1(f, use_bias=True, name="lat3", dtype=self.dtype)(c3) \
-            + jax.image.resize(p4, (p4.shape[0],) + c3.shape[1:3] + (f,),
-                               "nearest")
-        p2 = conv1x1(f, use_bias=True, name="lat2", dtype=self.dtype)(c2) \
-            + jax.image.resize(p3, (p3.shape[0],) + c2.shape[1:3] + (f,),
-                               "nearest")
-        p2 = nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                     name="smooth2", dtype=self.dtype)(p2)
+        last_inner = conv1x1(f, use_bias=True, name="inner_4",
+                             dtype=self.dtype)(feats[4])
+        for idx in (3, 2, 1):
+            lateral = conv1x1(f, use_bias=True, name=f"inner_{idx}",
+                              dtype=self.dtype)(feats[idx])
+            top_down = jax.image.resize(
+                last_inner,
+                (last_inner.shape[0],) + lateral.shape[1:3] + (f,),
+                "nearest")
+            last_inner = lateral + top_down
+        p1 = nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                     name="layer_1", dtype=self.dtype)(last_inner)
 
-        # projection head, as in the resnet variant
-        x = jax.nn.leaky_relu(p2, negative_slope=0.2)
-        x = conv1x1(self.num_ch_out, use_bias=True, name="head_conv",
+        # --- outconv head (`modules/networks.py:220-225`) ---
+        x = jax.nn.leaky_relu(p1, negative_slope=0.2)
+        x = conv1x1(self.num_ch_out, use_bias=True, name="outconv",
                     dtype=self.dtype)(x)
         return instance_norm(x.astype(jnp.float32)).astype(x.dtype)

@@ -1,0 +1,144 @@
+"""Per-stage on-device timing of the hero forward pass.
+
+Uses the same honesty harness as bench.py: K iterations chained inside
+one jitted program (scalar-token dataflow dependency + per-iteration
+index perturbation), completion forced by scalar readback, and two chain
+lengths differenced to cancel the axon relay round-trip (~35-40 ms).
+
+    python -m simplerecon_tpu.scripts.profile_stages [xla|pallas] [batch]
+
+Prints one line per stage: ms/iter and the share of the total.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _two_point(make_chain, args, k1=2, k2=6, repeats=3):
+    c1 = jax.jit(make_chain(k1))
+    c2 = jax.jit(make_chain(k2))
+    float(c1(*args))
+    float(c2(*args))
+
+    def timed(fn):
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return sorted(ts)[len(ts) // 2]
+
+    return (timed(c2) - timed(c1)) / (k2 - k1)
+
+
+def main(backend: str = "pallas", batch: int = 1):
+    from simplerecon_tpu.models.depth_model import build_depth_model
+    from simplerecon_tpu.options import Options
+    from simplerecon_tpu.parallel.train import make_example_batch
+
+    opts = Options()
+    opts.precision = "16"
+    opts.fast_cost_volume = backend == "pallas"
+    model = build_depth_model(opts)
+
+    data = make_example_batch(opts, batch_size=batch)
+    rng_np = np.random.RandomState(0)
+    data["cur"]["image_b3hw"] = rng_np.randn(
+        *data["cur"]["image_b3hw"].shape).astype("float32")
+    data["src"]["image_b3hw"] = rng_np.randn(
+        *data["src"]["image_b3hw"].shape).astype("float32")
+    data = jax.tree_util.tree_map(jnp.asarray, data)
+    cur, src = data["cur"], data["src"]
+
+    init = jax.jit(lambda r, c, s: model.init(r, c, s, flip=False,
+                                              train=False))
+    variables = init(jax.random.PRNGKey(0), cur, src)
+
+    h, w = opts.image_height, opts.image_width
+    b = batch
+    k = opts.model_num_views - 1
+    dtype = jnp.bfloat16
+
+    cur_image = jnp.transpose(cur["image_b3hw"], (0, 2, 3, 1)).astype(dtype)
+    all_images = jnp.asarray(
+        rng_np.randn(b * (k + 1), h, w, 3), dtype)
+    mh, mw, mc = h // 4, w // 4, opts.matching_feature_dims
+    matching_feats = jnp.asarray(
+        rng_np.randn(b, k + 1, mh, mw, mc), dtype)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, k, 4, 4))
+    K_m = cur[f"K_s{opts.matching_scale}_b44"] \
+        if f"K_s{opts.matching_scale}_b44" in cur else None
+    src_K = src[f"K_s{opts.matching_scale}_b44"].astype(jnp.float32)
+    cur_invK = cur[f"invK_s{opts.matching_scale}_b44"].astype(jnp.float32)
+
+    def chain_over(fn, x0):
+        """make_chain factory: fn(x + token_perturbation) -> scalar."""
+        def make(kk):
+            def chain(variables, x):
+                def body(i, token):
+                    xi = x + (token + i.astype(jnp.float32) * 0.01
+                              ).astype(x.dtype)
+                    return fn(variables, xi)
+                return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+            return chain
+        return make, (variables, x0)
+
+    stages = {}
+
+    # 1) image-prior encoder
+    def run_encoder(variables, x):
+        feats = model.apply(variables, x, False,
+                            method=lambda m, img, t: m.encoder(img, t))
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats) * 1e-9
+    make, args = chain_over(run_encoder, cur_image)
+    stages["encoder(EffNetV2-S)"] = _two_point(make, args)
+
+    # 2) matching encoder over all views
+    def run_matching(variables, x):
+        f = model.apply(variables, x, False,
+                        method=lambda m, img, t: m.matching_model(img, t))
+        return jnp.sum(f.astype(jnp.float32)) * 1e-9
+    make, args = chain_over(run_matching, all_images)
+    stages[f"matching_encoder x{k + 1}"] = _two_point(make, args)
+
+    # 3) cost volume
+    def run_cv(variables, feats):
+        cv, lowest, _, _ = model.apply(
+            variables, feats[:, 0], feats[:, 1:], False,
+            method=lambda m, c, s, t: m.cost_volume(
+                c, s, src_extrinsics_bk44=eye, src_poses_bk44=eye,
+                src_Ks_bk44=src_K, cur_invK_b44=cur_invK,
+                return_mask=False))
+        return jnp.sum(cv.astype(jnp.float32)) * 1e-9
+    make, args = chain_over(run_cv, matching_feats)
+    stages[f"cost_volume({backend})"] = _two_point(make, args)
+
+    # 4) full forward (for the total + implied residual decoder cost)
+    def run_full(variables, img):
+        c2 = dict(cur)
+        c2["image_b3hw"] = img
+        out = model.apply(variables, c2, src, flip=False, train=False)
+        return jnp.mean(out["depth_pred_s0_bhw1"].astype(jnp.float32))
+    make, args = chain_over(run_full, cur["image_b3hw"])
+    stages["TOTAL forward"] = _two_point(make, args)
+
+    total = stages["TOTAL forward"]
+    known = sum(v for s, v in stages.items() if s != "TOTAL forward")
+    print(f"\nbackend={backend} batch={batch} "
+          f"({w}x{h}, {opts.matching_num_depth_bins} planes, "
+          f"{k + 1} views)")
+    for s, v in stages.items():
+        print(f"  {s:28s} {v:9.3f} ms  ({100 * v / total:5.1f}% of total)")
+    print(f"  {'residual (cv_enc+decoder)':28s} {total - known:9.3f} ms")
+
+
+if __name__ == "__main__":
+    be = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    main(be, bs)

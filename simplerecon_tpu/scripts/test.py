@@ -104,6 +104,7 @@ def main(opts: Options):
             or opts.model_num_views,
             image_height=opts.image_height, image_width=opts.image_width,
             include_full_res_depth=True, include_full_depth_K=True,
+            include_high_res_color=(opts.fuse_color and opts.run_fusion),
             pass_frame_id=opts.cache_depths,
             skip_frames=opts.skip_frames, skip_to_frame=opts.skip_to_frame)
         loader = DataLoader(dataset, batch_size=opts.batch_size,
@@ -176,8 +177,12 @@ def main(opts: Options):
                 fusion_depth[fusion_depth > opts.fusion_max_depth] = 0.0
                 full_h, full_w = full_gt.shape[-2:]
                 up = upsample_nearest_np(fusion_depth, full_h, full_w)
+                # color for the fuser (reference `test.py:364-373`):
+                # high-res when the loader provides it, else model input
+                color = cur.get("high_res_color_b3hw", cur["image_b3hw"]) \
+                    if opts.fuse_color else None
                 fuser.fuse_frames(up[:, None], cur["K_full_depth_b44"],
-                                  cur["cam_T_world_b44"], None)
+                                  cur["cam_T_world_b44"], color)
 
         if fuser is not None:
             fuser.export_mesh(os.path.join(mesh_dir, f"{scan}.ply"))

@@ -29,7 +29,8 @@ from simplerecon_tpu.options import Options, OptionsHandler, \
 from simplerecon_tpu.parallel import (make_mesh, make_optimizer,
                                       make_sharded_train_step, shard_batch)
 from simplerecon_tpu.parallel.train import (eval_step_fn, init_train_state,
-                                            make_example_batch)
+                                            make_example_batch,
+                                            make_lr_schedule)
 from simplerecon_tpu.utils import checkpoint as ckpt_lib
 
 
@@ -61,6 +62,25 @@ class JSONLLogger:
                 for k, v in metrics.items():
                     tf.summary.scalar(f"{prefix}{k}", float(v),
                                       step=int(step))
+                self._tb.flush()
+
+    def log_images(self, step: int, panels_nhw3: "np.ndarray",
+                   panel_dir: str, tag: str = "val/panels"):
+        """Writes the validation image panels as PNGs (always) and as
+        TensorBoard images when available — the reference logs
+        RGB/GT/pred-depth/normals/CV-argmax panels every validation
+        (`experiment_modules/depth_model.py:540-603`)."""
+        from simplerecon_tpu.utils.visualization import save_image
+        os.makedirs(panel_dir, exist_ok=True)
+        for i, panel in enumerate(panels_nhw3):
+            save_image(os.path.join(panel_dir,
+                                    f"step{int(step):08d}_{i}.png"), panel)
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                tf.summary.image(tag, panels_nhw3.astype("float32"),
+                                 step=int(step),
+                                 max_outputs=len(panels_nhw3))
                 self._tb.flush()
 
 
@@ -123,6 +143,7 @@ def main(opts: Options):
 
     train_step = make_sharded_train_step(model, optimizer, mesh)
     eval_step = jax.jit(eval_step_fn(model))
+    lr_schedule = make_lr_schedule(opts)
 
     train_loader, val_loader = build_dataloaders(opts)
 
@@ -135,7 +156,10 @@ def main(opts: Options):
                 break
             device_batch = shard_batch(
                 jax.tree_util.tree_map(jnp.asarray, batch), mesh)
-            state, metrics = train_step(state, device_batch, rng)
+            # fresh per-step rng (the in-step flip additionally folds in
+            # state.step; this decorrelates any future rng consumers too)
+            state, metrics = train_step(state, device_batch,
+                                        jax.random.fold_in(rng, step))
             step += 1  # host-side mirror of state.step (no device sync)
 
             if step % opts.log_interval == 0:
@@ -143,6 +167,9 @@ def main(opts: Options):
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 metrics["steps_per_sec"] = opts.log_interval / max(dt, 1e-9)
+                # LR is schedule-determined; log it like the reference's
+                # LearningRateMonitor (`train.py:121`)
+                metrics["lr"] = float(lr_schedule(step))
                 logger.log(step, metrics, prefix="train/")
                 print(f"step {step}: loss="
                       f"{float(metrics['loss']):.4f} "
@@ -154,8 +181,18 @@ def main(opts: Options):
                     if vi >= opts.val_batches:
                         break
                     vbatch = jax.tree_util.tree_map(jnp.asarray, vbatch)
-                    loss_dict, _ = eval_step(state, vbatch)
+                    loss_dict, val_outputs = eval_step(state, vbatch)
                     val_losses.append(float(loss_dict["loss"]))
+                    if vi == 0:
+                        from simplerecon_tpu.utils.visualization import \
+                            build_image_panels
+                        host_out = {k: np.asarray(v) for k, v in
+                                    val_outputs.items() if v is not None}
+                        panels = build_image_panels(
+                            jax.device_get(vbatch["cur"]), host_out)
+                        logger.log_images(
+                            step, panels,
+                            os.path.join(log_dir, "panels"))
                 if val_losses:
                     val_loss = float(np.mean(val_losses))
                     logger.log(step, {"loss": val_loss}, prefix="val/")

@@ -100,8 +100,9 @@ def main(opts: Options):
             K_s0 = np.asarray(cur["K_s0_b44"][0])
             K_full = np.asarray(cur["K_full_depth_b44"][0])
             world_T_cam = np.asarray(cur["world_T_cam_b44"][0])
+            color = cur["image_b3hw"] if opts.fuse_color else None
             fuser.fuse_frames(depth[:, None], K_s0[None],
-                              np.asarray(cur["cam_T_world_b44"]), None)
+                              np.asarray(cur["cam_T_world_b44"]), color)
 
             verts, faces = fuser.get_mesh()
             if len(verts) == 0:

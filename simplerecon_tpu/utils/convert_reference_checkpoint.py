@@ -14,6 +14,8 @@ Conventions:
 
 Covered submodules (torch name -> flax path):
   matching_model.net.*      -> matching_model/* (antialiased ResNet18 stem)
+  matching_model.encoder/decoder/outconv.* -> matching_model/*
+                               (mnasnet_100 + FPN unet_encoder variant)
   cost_volume.mlp.net.*     -> cost_volume/mlp/dense{0,1,2}
   cost_volume_net.convs.*   -> cost_volume_net/{ds_conv_i, conv_ia, conv_ib}
   depth_decoder.convs.*     -> depth_decoder/* (UNet++ grid)
@@ -104,6 +106,50 @@ def _convert_matching_encoder(sd, w: _TreeWriter):
             w.bn(sd, f"matching_model.net.4.{b}.{bn}", blk + (bn,))
     w.conv(sd, "matching_model.net.5.weight", base + ("head_conv1",))
     w.conv(sd, "matching_model.net.8.weight", base + ("head_conv2",))
+
+
+def _convert_unet_matching_encoder(sd, w: _TreeWriter):
+    """`UNetMatchingEncoder` (`modules/networks.py:207-228`): timm
+    mnasnet_100 (`matching_model.encoder.*`), torchvision 0.11 FPN
+    (`matching_model.decoder.{inner,layer}_blocks.*`), and the outconv
+    head (`matching_model.outconv.1.*`)."""
+    enc = "matching_model.encoder"
+    if f"{enc}.conv_stem.weight" not in sd:
+        return
+    base = ("matching_model",)
+    w.conv(sd, f"{enc}.conv_stem.weight", base + ("conv_stem",))
+    w.bn(sd, f"{enc}.bn1", base + ("bn1",))
+    # blocks.0.0 = depthwise-separable
+    t = f"{enc}.blocks.0.0"
+    fp = base + ("blocks_0_0",)
+    w.conv(sd, f"{t}.conv_dw.weight", fp + ("conv_dw",))
+    w.bn(sd, f"{t}.bn1", fp + ("bn1",))
+    w.conv(sd, f"{t}.conv_pw.weight", fp + ("conv_pw",))
+    w.bn(sd, f"{t}.bn2", fp + ("bn2",))
+    # blocks.1..6 = inverted residuals
+    for s in range(1, 7):
+        b = 0
+        while f"{enc}.blocks.{s}.{b}.conv_pw.weight" in sd:
+            t = f"{enc}.blocks.{s}.{b}"
+            fp = base + (f"blocks_{s}_{b}",)
+            w.conv(sd, f"{t}.conv_pw.weight", fp + ("conv_pw",))
+            w.bn(sd, f"{t}.bn1", fp + ("bn1",))
+            w.conv(sd, f"{t}.conv_dw.weight", fp + ("conv_dw",))
+            w.bn(sd, f"{t}.bn2", fp + ("bn2",))
+            w.conv(sd, f"{t}.conv_pwl.weight", fp + ("conv_pwl",))
+            w.bn(sd, f"{t}.bn3", fp + ("bn3",))
+            b += 1
+    # FPN: only levels on the feat_1 path exist in our module
+    dec = "matching_model.decoder"
+    for i in (1, 2, 3, 4):
+        if f"{dec}.inner_blocks.{i}.weight" in sd:
+            w.conv(sd, f"{dec}.inner_blocks.{i}.weight",
+                   base + (f"inner_{i}",))
+    if f"{dec}.layer_blocks.1.weight" in sd:
+        w.conv(sd, f"{dec}.layer_blocks.1.weight", base + ("layer_1",))
+    # outconv head: Sequential [LeakyReLU, Conv2d, InstanceNorm]
+    if "matching_model.outconv.1.weight" in sd:
+        w.conv(sd, "matching_model.outconv.1.weight", base + ("outconv",))
 
 
 def _convert_mlp(sd, w: _TreeWriter):
@@ -219,6 +265,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray]
     """
     w = _TreeWriter()
     _convert_matching_encoder(sd, w)
+    _convert_unet_matching_encoder(sd, w)
     _convert_mlp(sd, w)
     _convert_cv_encoder(sd, w)
     _convert_decoder(sd, w)

@@ -137,3 +137,61 @@ def write_video(path: str, frames01: List[np.ndarray], fps: int = 30):
         for i, f in enumerate(frames01):
             save_image(os.path.join(base, f"{i:06d}.png"), f)
         return base
+
+
+def _resize_nearest_np(img_hwc: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize for host-side panel assembly."""
+    sh, sw = img_hwc.shape[:2]
+    ri = (np.arange(h) * sh // h).clip(0, sh - 1)
+    ci = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return img_hwc[ri][:, ci]
+
+
+def build_image_panels(cur_data: Dict, outputs: Dict,
+                       max_items: int = 4) -> np.ndarray:
+    """Validation image panels, the reference's primary debugging view
+    (`experiment_modules/depth_model.py:540-603`): for up to `max_items`
+    batch elements, a row of [RGB | GT depth | pred depth | pred normals
+    | CV argmax] tiles; GT and pred share a robust GT value range.
+
+    Returns (N, H, 5*W, 3) float in [0, 1], ready for PNG / TB image
+    logging.
+    """
+    n = min(max_items, np.asarray(cur_data["image_b3hw"]).shape[0])
+    panels = []
+    for i in range(n):
+        image = np.asarray(cur_data["image_b3hw"][i], np.float32)
+        rgb = np.clip(reverse_imagenet_normalize_np(image), 0, 1
+                      ).transpose(1, 2, 0)
+        h, w = rgb.shape[:2]
+
+        if "depth_bhw" in cur_data:
+            gt = np.asarray(cur_data["depth_bhw"][i], np.float32)
+        elif "depth_b1hw" in cur_data:
+            gt = np.asarray(cur_data["depth_b1hw"][i, 0], np.float32)
+        else:
+            gt = None
+        pred = np.asarray(outputs["depth_pred_s0_bhw1"][i, ..., 0],
+                          np.float32)
+        vmin, vmax = normalize_depth_robust(gt if gt is not None else pred)
+
+        tiles = [rgb]
+        tiles.append(_resize_nearest_np(
+            colormap_image(gt, vmin, vmax) if gt is not None
+            else np.zeros_like(rgb), h, w))
+        tiles.append(_resize_nearest_np(colormap_image(pred, vmin, vmax),
+                                        h, w))
+        if outputs.get("normals_pred_bhw3") is not None:
+            nrm = np.asarray(outputs["normals_pred_bhw3"][i], np.float32)
+            nrm = np.clip(np.nan_to_num(0.5 * (nrm + 1.0)), 0, 1)
+            tiles.append(_resize_nearest_np(nrm, h, w))
+        else:
+            tiles.append(np.zeros_like(rgb))
+        if outputs.get("lowest_cost_bhw") is not None:
+            lc = np.asarray(outputs["lowest_cost_bhw"][i], np.float32)
+            tiles.append(_resize_nearest_np(colormap_image(lc, vmin, vmax),
+                                            h, w))
+        else:
+            tiles.append(np.zeros_like(rgb))
+        panels.append(np.concatenate(tiles, axis=1))
+    return np.stack(panels, axis=0)

@@ -82,3 +82,57 @@ def test_tsdf_integrates_flat_wall():
 def test_tsdf_dims_rounded_to_vox_mod():
     tsdf = TSDF.from_bounds(np.array([[0, 1.0], [0, 1.0], [0, 1.0]]), 0.3)
     assert all(d % 8 == 0 for d in tsdf.dims)
+
+
+def test_tsdf_color_fusion_known_color(tmp_path):
+    """Fusing a red wall must produce red mesh vertices and a colored
+    PLY — the capability the reference gets from Open3D's color TSDF
+    (`tools/fusers_helper.py:125-186`)."""
+    K, cam_T_world = _lookat_camera()
+    depth = np.full((1, 64, 64), 2.0, np.float32)
+    color = np.zeros((1, 3, 64, 64), np.float32)
+    color[:, 0] = 1.0  # pure red, [0,1] range
+
+    bounds = np.array([[-1.0, 1.0], [-1.0, 1.0], [0.0, 3.2]])
+    tsdf = TSDF.from_bounds(bounds, voxel_size=0.08, with_color=True)
+    fuser = TSDFFuser(tsdf, max_depth=3.0)
+    fuser.integrate_depth(depth, cam_T_world[None], K[None],
+                          color_b3hw=color)
+
+    verts, faces, vcols = tsdf.to_mesh(return_colors=True)
+    assert len(verts) > 0 and vcols is not None
+    assert vcols.shape == (len(verts), 3)
+    # surface vertices must come out red (weighted-mean color update)
+    assert np.median(vcols[:, 0]) > 0.9
+    assert np.median(vcols[:, 1]) < 0.1
+    assert np.median(vcols[:, 2]) < 0.1
+
+
+def test_our_fuser_color_end_to_end(tmp_path):
+    """OurFuser with fuse_color: imagenet-normalized input color is
+    un-normalized internally; the exported PLY carries vertex colors."""
+    from simplerecon_tpu.fusion.fusers import OurFuser
+    from simplerecon_tpu.ops.image import imagenet_normalize
+    import jax.numpy as jnp
+
+    K, cam_T_world = _lookat_camera()
+    depth = np.full((1, 64, 64), 2.0, np.float32)
+    rgb = np.zeros((1, 64, 64, 3), np.float32)
+    rgb[..., 1] = 1.0  # pure green
+    norm = np.asarray(imagenet_normalize(jnp.asarray(rgb)))
+    color_b3hw = norm.transpose(0, 3, 1, 2)
+
+    fuser = OurFuser(fusion_resolution=0.08, max_fusion_depth=3.0,
+                     fuse_color=True,
+                     bounds_3x2=np.array([[-1.0, 1.0], [-1.0, 1.0],
+                                          [0.0, 3.2]]))
+    fuser.fuse_frames(depth[:, None], K[None], cam_T_world[None],
+                      color_b3hw)
+    verts, faces, vcols = fuser.get_mesh(include_colors=True)
+    assert vcols is not None and len(vcols) == len(verts)
+    assert np.median(vcols[:, 1]) > 0.85
+
+    path = fuser.export_mesh(str(tmp_path / "colored.ply"))
+    with open(path, "rb") as f:
+        header = f.read(400)
+    assert b"red" in header and b"green" in header and b"blue" in header

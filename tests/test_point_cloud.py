@@ -27,8 +27,10 @@ def test_consistent_wall_fuses():
     K_f = np.stack(Ks)
     pose_f = np.stack(poses)
     invK_f = np.stack([np.linalg.inv(k) for k in Ks])
+    # n_consistent counts *source* views only (the ref frame's trivial
+    # self-match is excluded, as in the reference's src_idx != ref_idx)
     pts, _ = process_scene(np.stack(depths), pose_f, K_f, invK_f,
-                           z_thresh=0.04, n_consistent=3,
+                           z_thresh=0.04, n_consistent=2,
                            voxel_downsample_size=0.02)
     assert len(pts) > 100
     assert abs(np.median(pts[:, 2]) - 2.0) < 0.02
@@ -47,10 +49,35 @@ def test_inconsistent_frame_rejected():
     pose_f = np.stack(poses)
     invK_f = np.stack([np.linalg.inv(k) for k in Ks])
     pts, _ = process_scene(np.stack(depths), pose_f, K_f, invK_f,
-                           z_thresh=0.04, n_consistent=3,
+                           z_thresh=0.04, n_consistent=2,
                            voxel_downsample_size=0.005)
-    # needs all 3 views to agree -> nothing survives
+    # needs both source views to agree -> nothing survives
     assert len(pts) == 0
+
+
+def test_averaging_reduces_noise():
+    """Consistent multi-view samples are averaged
+    (`torch_point_cloud_fusion.py:83-91`): fused z-noise on a flat wall
+    must be clearly below the single-view noise level."""
+    h = w = 48
+    sigma = 0.01
+    rng = np.random.RandomState(0)
+    Ks, poses, depths = [], [], []
+    for tx in (0.0, 0.03, -0.03, 0.06):
+        K, pose = _camera(tx)
+        Ks.append(K)
+        poses.append(pose)
+        depths.append((2.0 + sigma * rng.randn(h, w)).astype(np.float32))
+    K_f = np.stack(Ks)
+    pose_f = np.stack(poses)
+    invK_f = np.stack([np.linalg.inv(k) for k in Ks])
+    pts, _ = process_scene(np.stack(depths), pose_f, K_f, invK_f,
+                           z_thresh=0.08, n_consistent=3,
+                           voxel_downsample_size=1e-6)
+    assert len(pts) > 500
+    fused_std = np.std(pts[:, 2] - 2.0)
+    # 4 iid samples averaged -> sigma/2; allow slack for resample jitter
+    assert fused_std < 0.75 * sigma, fused_std
 
 
 def test_voxel_downsample():

@@ -231,3 +231,138 @@ def test_mbconv_parity():
         jnp.asarray(to_np(x).transpose(0, 2, 3, 1)), train=False))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                rtol=1e-3, atol=1e-4)
+
+
+class TorchMnasIRBlock(tnn.Module):
+    """timm InvertedResidual (mnasnet_100) structure + state_dict names."""
+
+    def __init__(self, cin, cout, k, s, e):
+        super().__init__()
+        mid = cin * e
+        self.conv_pw = tnn.Conv2d(cin, mid, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(mid)
+        self.conv_dw = tnn.Conv2d(mid, mid, k, s, k // 2, groups=mid,
+                                  bias=False)
+        self.bn2 = tnn.BatchNorm2d(mid)
+        self.conv_pwl = tnn.Conv2d(mid, cout, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        self.has_skip = s == 1 and cin == cout
+
+    def forward(self, x):
+        h = torch.relu(self.bn1(self.conv_pw(x)))
+        h = torch.relu(self.bn2(self.conv_dw(h)))
+        h = self.bn3(self.conv_pwl(h))
+        return h + x if self.has_skip else h
+
+
+class TorchMnasDs(tnn.Module):
+    """timm DepthwiseSeparableConv (mnasnet blocks.0.0)."""
+
+    def __init__(self, cin=32, cout=16):
+        super().__init__()
+        self.conv_dw = tnn.Conv2d(cin, cin, 3, 1, 1, groups=cin, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cin)
+        self.conv_pw = tnn.Conv2d(cin, cout, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return self.bn2(self.conv_pw(torch.relu(self.bn1(self.conv_dw(x)))))
+
+
+class TorchMnasnetFPNEncoder(tnn.Module):
+    """Reference `UNetMatchingEncoder` structure: timm mnasnet_100
+    features_only + torchvision 0.11 FeaturePyramidNetwork(out=32) +
+    outconv (`modules/networks.py:207-228`). Replicated module-by-module
+    (timm/torchvision are not installed in this environment; layer specs
+    follow timm `_gen_mnasnet_b1` and torchvision 0.11.1 `fpn.py`)."""
+
+    STAGES = [  # (repeats, kernel, stride, expansion, out_ch)
+        (3, 3, 2, 3, 24), (3, 5, 2, 3, 40), (3, 5, 2, 6, 80),
+        (2, 3, 1, 6, 96), (4, 5, 2, 6, 192), (1, 3, 1, 6, 320)]
+
+    def __init__(self):
+        super().__init__()
+        enc = tnn.Module()
+        enc.conv_stem = tnn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        enc.bn1 = tnn.BatchNorm2d(32)
+        blocks = [tnn.Sequential(TorchMnasDs(32, 16))]
+        cin = 16
+        for (r, k, s, e, cout) in self.STAGES:
+            stage = []
+            for b in range(r):
+                stage.append(TorchMnasIRBlock(cin, cout, k,
+                                              s if b == 0 else 1, e))
+                cin = cout
+            blocks.append(tnn.Sequential(*stage))
+        enc.blocks = tnn.Sequential(*blocks)
+        self.encoder = enc
+
+        dec = tnn.Module()
+        dec.inner_blocks = tnn.ModuleList(
+            [tnn.Conv2d(c, 32, 1) for c in (16, 24, 40, 96, 320)])
+        dec.layer_blocks = tnn.ModuleList(
+            [tnn.Conv2d(32, 32, 3, padding=1) for _ in range(5)])
+        self.decoder = dec
+
+        self.outconv = tnn.Sequential(
+            tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(32, 16, 1),
+            tnn.InstanceNorm2d(16))
+
+    def forward(self, x):
+        x = torch.relu(self.encoder.bn1(self.encoder.conv_stem(x)))
+        feats = []
+        for i, stage in enumerate(self.encoder.blocks):
+            x = stage(x)
+            if i in (0, 1, 2, 4, 6):
+                feats.append(x)
+        # torchvision FPN top-down (fpn.py, 0.11.1), feat_1 output
+        last_inner = self.decoder.inner_blocks[4](feats[4])
+        for idx in (3, 2, 1):
+            lateral = self.decoder.inner_blocks[idx](feats[idx])
+            top_down = tnn.functional.interpolate(
+                last_inner, size=lateral.shape[-2:], mode="nearest")
+            last_inner = lateral + top_down
+        p1 = self.decoder.layer_blocks[1](last_inner)
+        return self.outconv(p1)
+
+
+def test_unet_matching_encoder_parity():
+    from simplerecon_tpu.models.matching_encoder import UNetMatchingEncoder
+
+    tm = TorchMnasnetFPNEncoder().eval()
+    for mod in tm.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.05)
+            mod.running_var.uniform_(0.5, 1.5)
+    x = torch.randn(2, 3, 64, 96)
+    with torch.no_grad():
+        want = to_np(tm(x))  # (2, 16, 16, 24)
+
+    sd = {f"matching_model.{k}": v.numpy()
+          for k, v in tm.state_dict().items()}
+    params, stats, report = convert_state_dict(sd)
+    # every encoder/decoder-path tensor must be consumed (unused FPN
+    # levels 0 excepted)
+    leftover = [k for k in report["skipped"]
+                if not (".inner_blocks.0." in k
+                        or ".layer_blocks." in k and ".layer_blocks.1." not in k
+                        or k.endswith("num_batches_tracked"))]
+    assert leftover == [], leftover
+
+    fm = UNetMatchingEncoder(num_ch_out=16)
+    variables = fm.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 64, 96, 3)), train=False)
+    merged_p = merge_params(
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+        params["matching_model"])
+    merged_s = merge_params(
+        jax.tree_util.tree_map(np.asarray, variables["batch_stats"]),
+        stats["matching_model"])
+
+    got = np.asarray(fm.apply(
+        {"params": merged_p, "batch_stats": merged_s},
+        jnp.asarray(to_np(x).transpose(0, 2, 3, 1)), train=False))
+    got_nchw = got.transpose(0, 3, 1, 2)
+    assert got_nchw.shape == want.shape
+    np.testing.assert_allclose(got_nchw, want, rtol=1e-3, atol=1e-4)

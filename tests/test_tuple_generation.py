@@ -111,3 +111,76 @@ def test_generate_tuples_cli_over_synthetic_scan(tmp_path):
         parts = line.split()
         assert parts[0] == "scene0000_00"
         assert len(parts) == 5  # scan + 4 frame ids
+
+
+def test_train_chain_consecutive_distances_and_threshold():
+    """Consecutive chain frames obey the multiplier-scaled DVMVS window
+    (crawl pass 1 runs at multiplier 1.0: [0.125, 0.325], t >= 0.0625)."""
+    from simplerecon_tpu.data.keyframe_buffer import pose_distance
+
+    poses = make_trajectory(n=120, step=0.2)
+    chains = crawl_subsequences_train(poses, subsequence_length=8)
+    assert chains, "no chains found on a crawlable trajectory"
+    # multipliers used by the 10 passes
+    muls = [1.0, 0.666, 1.5, 0.8, 1.25]
+    lo = min(muls) * 0.125 * 0.999
+    hi = max(muls) * 0.325 * 1.001
+    for chain in chains:
+        for a, b in zip(chain, chain[1:]):
+            d, _, t = pose_distance(poses[a], poses[b])
+            assert lo <= d <= hi, (a, b, d)
+
+
+def test_train_export_reference_frame_is_chain_start(tmp_path):
+    """frame_id_0 of each exported train tuple is the chain start, as in
+    the reference's export (`generate_train_tuples.py:366-374`)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_data import make_scannet_fixture
+    from simplerecon_tpu.data.scannet import ScannetDataset
+    from simplerecon_tpu.data.tuple_generation import \
+        generate_train_tuples_for_scan
+
+    root = str(tmp_path)
+    make_scannet_fixture(root, n_frames=40)
+    ds = ScannetDataset(dataset_path=root, split="train",
+                        mv_tuple_file_suffix=None,
+                        num_images_in_tuple=4,
+                        image_height=64, image_width=96)
+    lines = generate_train_tuples_for_scan(ds, "scene0000_00", 4)
+    for line in lines:
+        parts = line.split()
+        assert parts[0] == "scene0000_00"
+        assert len(parts) == 5
+        # chains walk monotonically in frame index: the reference frame
+        # (first) is the extremum, sources strictly ordered
+        ids = [int(p) for p in parts[1:]]
+        assert ids == sorted(ids) or ids == sorted(ids, reverse=True)
+
+
+def test_train_two_frame_variant(tmp_path):
+    """num_images_in_tuple=2 routes to the gather_pairs_train crawl
+    (the reference's `crawl_subprocess_short`, fixed export path)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_data import make_scannet_fixture
+    from simplerecon_tpu.data.scannet import ScannetDataset
+    from simplerecon_tpu.data.tuple_generation import \
+        generate_train_tuples_for_scan
+    from simplerecon_tpu.data.keyframe_buffer import pose_distance
+
+    root = str(tmp_path)
+    make_scannet_fixture(root, n_frames=40)
+    ds = ScannetDataset(dataset_path=root, split="train",
+                        mv_tuple_file_suffix=None,
+                        num_images_in_tuple=2,
+                        image_height=64, image_width=96)
+    lines = generate_train_tuples_for_scan(ds, "scene0000_00", 2)
+    assert lines
+    for line in lines:
+        parts = line.split()
+        assert len(parts) == 3
+    # determinism
+    assert lines == generate_train_tuples_for_scan(ds, "scene0000_00", 2)
