@@ -158,8 +158,13 @@ class MLPFeatureVolume(nn.Module):
     mlp_hidden: Tuple[int, ...] = (128, 128)
     plane_chunk: int = 8
     remat: bool = True
-    backend: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
+    # "xla" | "pallas" (fused warp kernel) | "pallas_v1" (two-step XLA
+    # warp + metadata/MLP kernel); *_interpret variants run the kernel
+    # in the Pallas interpreter (CPU tests)
+    backend: str = "xla"
     pallas_tile: int = 1024
+    # 1-D f32 outputs need 1024-element tiles (Mosaic/XLA layout)
+    pallas_warp_tile: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -227,14 +232,46 @@ class MLPFeatureVolume(nn.Module):
     def _pallas_volume(self, planes_bd, cur_bNc, src_feats_bkhwc,
                        src_extrinsics_bk44, src_Ks_bk44, cur_invK_b44,
                        src_cam_loc_bk3, pose_penalty_bk3):
-        """Fused-kernel path: one full warp (XLA gather), then the Pallas
-        metadata+MLP reduction with zero HBM intermediates."""
+        """Fused-kernel path.
+
+        Default ("pallas"): the fully fused warp+metadata+MLP kernel —
+        projection, two-hot MXU bilinear sampling, metadata assembly and
+        the MLP all inside one Pallas program; the warp stack never
+        exists in HBM. "pallas_v1" keeps the older two-step variant
+        (XLA warp sweep, then the metadata+MLP kernel)."""
         from simplerecon_tpu.ops import pallas_cv
 
         b, k = src_feats_bkhwc.shape[:2]
         c = src_feats_bkhwc.shape[-1]
         d = planes_bd.shape[1]
         n = cur_bNc.shape[1]
+
+        if self.backend in ("pallas", "pallas_interpret"):
+            h_img, w_img = src_feats_bkhwc.shape[2:4]
+            dtype = self.dtype
+            # (b, k, h, c*w): c-major rows for the in-kernel lane-group
+            # x-reduction
+            img = src_feats_bkhwc.transpose(0, 1, 2, 4, 3).reshape(
+                b, k, h_img, c * w_img).astype(dtype)
+            proj = (src_Ks_bk44.astype(jnp.float32)
+                    @ src_extrinsics_bk44.astype(jnp.float32))
+            grid_N3 = geo.pixel_grid(h_img, w_img)
+            rays_bN3 = jnp.einsum(
+                "nj,bij->bni", grid_N3,
+                cur_invK_b44[:, :3, :3].astype(jnp.float32))
+            tile = min(self.pallas_warp_tile, n)
+            while n % tile != 0:
+                tile -= 1
+            p = self.mlp.variables["params"]
+            vol = pallas_cv.fused_warp_feature_volume(
+                img, cur_bNc.astype(dtype), rays_bN3, planes_bd, proj,
+                pose_penalty_bk3, src_cam_loc_bk3,
+                p["dense0"]["kernel"].astype(dtype), p["dense0"]["bias"],
+                p["dense1"]["kernel"].astype(dtype), p["dense1"]["bias"],
+                p["dense2"]["kernel"].astype(dtype), p["dense2"]["bias"],
+                tile=tile,
+                interpret=self.backend == "pallas_interpret")
+            return vol.reshape(b, d, n)
 
         # chunk planes so the materialized warp stack stays under ~1 GB
         # (at batch 32 the full hero stack is 45 GB and OOMs the chip)
@@ -282,7 +319,7 @@ class MLPFeatureVolume(nn.Module):
             p["dense1"]["kernel"].astype(dtype), p["dense1"]["bias"],
             p["dense2"]["kernel"].astype(dtype), p["dense2"]["bias"],
             tile=tile,
-            interpret=self.backend == "pallas_interpret")
+            interpret=self.backend == "pallas_v1_interpret")
         return vol.reshape(b, d, n)
 
 

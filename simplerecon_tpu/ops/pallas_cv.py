@@ -50,6 +50,61 @@ def mlp_in_channels(k: int, c: int) -> int:
     return c * (1 + k) + (1 + k) + 3 * (1 + k) + k + k + k + 3 * k
 
 
+def _metadata_mlp(cur, rays0, plane, sampled_list, mask_list, depth_list,
+                  pose_meta_ref, src_loc_ref,
+                  w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  tile: int, k: int):
+    """Shared tail: metadata assembly + 3-layer MLP, all in VMEM.
+
+    cur (T, c) f32, rays0 (T, 3) f32 unnormalized, plane scalar,
+    sampled/mask/depth lists of per-view (T, c)/(T,)/(T,) f32.
+    Returns (T,) f32 scores.
+    """
+    f32 = jnp.float32
+    world = rays0 * plane
+    inv_n0 = jax.lax.rsqrt(jnp.sum(rays0 * rays0, axis=-1) + 1e-30)
+    rays = rays0 * inv_n0[:, None]
+
+    dots = [jnp.sum(s * cur, axis=-1) * m
+            for s, m in zip(sampled_list, mask_list)]
+    visual = jnp.concatenate(sampled_list + [cur], axis=-1)
+
+    mask_t = jnp.stack(mask_list, axis=-1)                  # (T, k)
+    depths_t = jnp.stack(depth_list, axis=-1)               # (T, k)
+    plane_col = jnp.full((tile, 1), plane, f32)
+    dot_t = jnp.stack(dots, axis=-1)
+
+    src_ray_parts = []
+    angles = []
+    for view in range(k):
+        loc = src_loc_ref[0, view]                          # (3,)
+        v = world - loc[None, :]
+        inv_n = jax.lax.rsqrt(jnp.sum(v * v, axis=-1) + 1e-30)
+        sr = v * inv_n[:, None]
+        src_ray_parts.append(sr)
+        angles.append(jnp.sum(rays * sr, axis=-1))
+    angle_t = jnp.stack(angles, axis=-1)
+    all_rays = jnp.concatenate([rays] + src_ray_parts, axis=-1)
+
+    pose_cols = [jnp.broadcast_to(pose_meta_ref[0, :, j][None, :],
+                                  (tile, k)) for j in range(3)]
+
+    x = jnp.concatenate(
+        [visual, mask_t, depths_t, plane_col, dot_t, angle_t, all_rays]
+        + pose_cols, axis=-1)
+
+    dtype = w0_ref.dtype
+    h0 = jnp.dot(x.astype(dtype), w0_ref[...],
+                 preferred_element_type=f32) + b0_ref[...].astype(f32)
+    h0 = jax.nn.leaky_relu(h0, negative_slope=0.01)
+    h1 = jnp.dot(h0.astype(dtype), w1_ref[...],
+                 preferred_element_type=f32) + b1_ref[...].astype(f32)
+    h1 = jax.nn.leaky_relu(h1, negative_slope=0.01)
+    out = jnp.dot(h1.astype(dtype), w2_ref[...],
+                  preferred_element_type=f32) + b2_ref[...].astype(f32)
+    return out[:, 0]
+
+
 def _kernel(planes_ref, pose_meta_ref, src_loc_ref,            # SMEM-ish
             sampled_ref, mask_ref, depths_ref, cur_ref, rays_ref,
             w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -74,59 +129,14 @@ def _kernel(planes_ref, pose_meta_ref, src_loc_ref,            # SMEM-ish
     cur = cur_ref[0].astype(f32)                   # (T, c)
     rays0 = rays_ref[0].astype(f32)                # (T, 3) invK @ pix
                                                    # (UNNORMALIZED, z = 1)
-    # world points of this plane's pixel tile (plane = z-depth) and the
-    # unit reference-view ray
-    world = rays0 * plane                          # (T, 3)
-    inv_n0 = jax.lax.rsqrt(jnp.sum(rays0 * rays0, axis=-1) + 1e-30)
-    rays = rays0 * inv_n0[:, None]                 # (T, 3) unit
+    sampled_list = [sampled_ref[view].astype(f32) for view in range(k)]
+    mask_list = [mask_ref[view].astype(f32) for view in range(k)]
+    depth_list = [depths_ref[view].astype(f32) for view in range(k)]
 
-    parts = []
-    dots = []
-    angles = []
-    for view in range(k):                          # k is small + static
-        s = sampled_ref[view].astype(f32)          # (T, c)
-        parts.append(s)
-        m = mask_ref[view].astype(f32)             # (T,)
-        dots.append(jnp.sum(s * cur, axis=-1) * m)
-
-    visual = jnp.concatenate(parts + [cur], axis=-1)       # (T, (k+1)c)
-
-    mask_t = mask_ref[...].astype(f32).T                   # (T, k)
-    depths_t = depths_ref[...].astype(f32).T               # (T, k)
-    plane_col = jnp.full((tile, 1), plane, f32)
-    dot_t = jnp.stack(dots, axis=-1)                       # (T, k)
-
-    src_ray_parts = []
-    for view in range(k):
-        loc = src_loc_ref[0, view]                          # (3,)
-        v = world - loc[None, :]                            # (T, 3)
-        inv_n = jax.lax.rsqrt(jnp.sum(v * v, axis=-1) + 1e-30)
-        sr = v * inv_n[:, None]
-        src_ray_parts.append(sr)
-        # rays are unit: cosine similarity = dot (eps-clamped norms)
-        angles.append(jnp.sum(rays * sr, axis=-1))
-    angle_t = jnp.stack(angles, axis=-1)                    # (T, k)
-    all_rays = jnp.concatenate([rays] + src_ray_parts, axis=-1)
-
-    pose_cols = []
-    for j in range(3):                                      # penalty, R, t
-        col = pose_meta_ref[0, :, j]                        # (k,)
-        pose_cols.append(jnp.broadcast_to(col[None, :], (tile, k)))
-
-    x = jnp.concatenate(
-        [visual, mask_t, depths_t, plane_col, dot_t, angle_t, all_rays]
-        + pose_cols, axis=-1)                               # (T, 202)
-
-    dtype = w0_ref.dtype
-    h0 = jnp.dot(x.astype(dtype), w0_ref[...],
-                 preferred_element_type=f32) + b0_ref[...].astype(f32)
-    h0 = jax.nn.leaky_relu(h0, negative_slope=0.01)
-    h1 = jnp.dot(h0.astype(dtype), w1_ref[...],
-                 preferred_element_type=f32) + b1_ref[...].astype(f32)
-    h1 = jax.nn.leaky_relu(h1, negative_slope=0.01)
-    out = jnp.dot(h1.astype(dtype), w2_ref[...],
-                  preferred_element_type=f32) + b2_ref[...].astype(f32)
-    out_ref[...] = out[:, 0]
+    out_ref[...] = _metadata_mlp(
+        cur, rays0, plane, sampled_list, mask_list, depth_list,
+        pose_meta_ref, src_loc_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, tile=tile, k=k)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -210,5 +220,166 @@ def fused_feature_volume(sampled_kRc: jnp.ndarray,
             transcendentals=R * k),  # rsqrt per view
     )(planes_bd, pose_meta_bk3, src_loc_bk3, sampled_kRc, mask_kR,
       depths_kR, cur_bNc, rays_bN3, w0, b0, w1, b1, w2, b2)
+
+    return out.reshape(b, d, N)
+
+
+def _twohot_weights(coord, size: int, tile: int):
+    """Two-hot bilinear tap matrix (T, size), zeros out of range.
+    Same tap math as `ops.cost_volume._twohot` (grid_sample parity)."""
+    f32 = jnp.float32
+    c0 = jnp.floor(coord)
+    w1 = coord - c0
+    w0 = 1.0 - w1
+    i0 = c0.astype(jnp.int32)
+    i1 = i0 + 1
+    v0 = ((i0 >= 0) & (i0 < size)).astype(f32)
+    v1 = ((i1 >= 0) & (i1 < size)).astype(f32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, size), 1)
+    hit0 = (iota == jnp.clip(i0, 0, size - 1)[:, None]).astype(f32)
+    hit1 = (iota == jnp.clip(i1, 0, size - 1)[:, None]).astype(f32)
+    return hit0 * (w0 * v0)[:, None] + hit1 * (w1 * v1)[:, None]
+
+
+def _warp_kernel(planes_ref, proj_ref, pose_meta_ref, src_loc_ref,
+                 img_ref, cur_ref, rays_ref,
+                 w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 out_ref, *, k: int, c: int, d: int, h: int, w: int,
+                 tile: int, eps: float = 1e-8):
+    """Fully fused cell: project -> two-hot MXU warp -> metadata -> MLP.
+
+    The source feature maps live in VMEM in (h, c*w) layout (c-major
+    within a row). Per view, bilinear sampling is one (T, h) x (h, c*w)
+    matmul (y taps) followed by a lane-group reduce over w (x taps) —
+    no gathers anywhere. Projection runs on the VPU from the (4, 4)
+    K @ src_T_cur matrices in SMEM, mirroring `geo.project_points`'s
+    safe divide exactly.
+    """
+    f32 = jnp.float32
+    bd = pl.program_id(0)
+    b_idx = bd // d
+    plane = planes_ref[b_idx, bd % d]
+    cur = cur_ref[0].astype(f32)                   # (T, c)
+    rays0 = rays_ref[0].astype(f32)                # (T, 3) unnormalized
+    world = rays0 * plane                          # (T, 3) sweep frame
+
+    wdtype = w0_ref.dtype
+    sampled_list = []
+    mask_list = []
+    depth_list = []
+    for view in range(k):
+        # P = K @ src_T_cur rows from SMEM (scalar reads)
+        def p(i, j):
+            return proj_ref[b_idx, view, i, j]
+
+        cx = world[:, 0] * p(0, 0) + world[:, 1] * p(0, 1) \
+            + world[:, 2] * p(0, 2) + p(0, 3)
+        cy = world[:, 0] * p(1, 0) + world[:, 1] * p(1, 1) \
+            + world[:, 2] * p(1, 2) + p(1, 3)
+        cz = world[:, 0] * p(2, 0) + world[:, 1] * p(2, 1) \
+            + world[:, 2] * p(2, 2) + p(2, 3)
+        nonzero = jnp.abs(cz) > eps
+        z_eps = cz + eps
+        scale = jnp.where(nonzero, 1.0 / z_eps, 1.0)
+        x = cx * scale - 0.5                       # index-space coords
+        y = cy * scale - 0.5
+
+        ohy = _twohot_weights(y, h, tile)                    # (T, h)
+        rows = jnp.dot(ohy.astype(wdtype), img_ref[0, view],
+                       preferred_element_type=f32)           # (T, c*w)
+        ohx = _twohot_weights(x, w, tile)                    # (T, w)
+        sampled = jnp.sum(rows.reshape(tile, c, w)
+                          * ohx[:, None, :], axis=-1)        # (T, c)
+
+        sampled_list.append(sampled)
+        mask_list.append((z_eps > 0).astype(f32))
+        depth_list.append(z_eps)
+
+    out_ref[...] = _metadata_mlp(
+        cur, rays0, plane, sampled_list, mask_list, depth_list,
+        pose_meta_ref, src_loc_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, tile=tile, k=k)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def fused_warp_feature_volume(img_bkhW: jnp.ndarray,
+                              cur_bNc: jnp.ndarray,
+                              rays_bN3: jnp.ndarray,
+                              planes_bd: jnp.ndarray,
+                              proj_bk44: jnp.ndarray,
+                              pose_meta_bk3: jnp.ndarray,
+                              src_loc_bk3: jnp.ndarray,
+                              w0, b0, w1, b1, w2, b2,
+                              tile: int = DEFAULT_TILE,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Warp + metadata + MLP in ONE kernel — zero HBM intermediates.
+
+    The v1 kernel consumed a pre-warped (k, b*d*N, c) stack built by an
+    XLA gather (or matmul) sweep; this variant moves the warp itself
+    onto the MXU inside the kernel, so the only HBM traffic is the tiny
+    source maps, per-pixel rays/features, and the (b*d*N,) scores.
+
+    Args:
+      img_bkhW: (b, k, h, c*w) source features, c-major rows
+        (transpose(feats, (h, c, w)).reshape(h, c*w)).
+      cur_bNc: (b, N, c) reference features.
+      rays_bN3: (b, N, 3) unnormalized rays invK @ (u+.5, v+.5, 1).
+      planes_bd: (b, d) plane depths.
+      proj_bk44: (b, k, 4, 4) fp32 K @ src_cam_T_cur_cam.
+      pose_meta_bk3 / src_loc_bk3: (b, k, 3).
+      w0 (C_in, 128), b0, w1 (128, 128), b1, w2 (128, 1), b2.
+
+    Returns (b, d, N) fp32 matching scores.
+    """
+    b, k, h, W = img_bkhW.shape
+    _, N, c = cur_bNc.shape
+    w = W // c
+    d = planes_bd.shape[1]
+    assert N % tile == 0, f"N={N} must divide tile={tile}"
+    n_tiles = N // tile
+    grid = (b * d, n_tiles)
+
+    kernel = functools.partial(_warp_kernel, k=k, c=c, d=d, h=h, w=w,
+                               tile=tile)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # proj
+            pl.BlockSpec((1, k, 3), lambda bd, n, d=d: (bd // d, 0, 0),
+                         memory_space=pltpu.VMEM),                 # pose
+            pl.BlockSpec((1, k, 3), lambda bd, n, d=d: (bd // d, 0, 0),
+                         memory_space=pltpu.VMEM),                 # src loc
+            pl.BlockSpec((1, k, h, W), lambda bd, n, d=d: (bd // d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                 # img
+            pl.BlockSpec((1, tile, c), lambda bd, n, d=d: (bd // d, n, 0),
+                         memory_space=pltpu.VMEM),                 # cur
+            pl.BlockSpec((1, tile, 3), lambda bd, n, d=d: (bd // d, n, 0),
+                         memory_space=pltpu.VMEM),                 # rays
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # b0
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # b2
+        ],
+        out_specs=pl.BlockSpec(
+            (tile,), lambda bd, n, n_tiles=n_tiles: (bd * n_tiles + n,)),
+        out_shape=jax.ShapeDtypeStruct((b * d * N,), jnp.float32),
+        interpret=interpret,
+        # the unrolled per-view (tile, c*w) row intermediates exceed the
+        # default 16 MB scoped cap; v5e has 128 MB of physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * N * (k * h * (c * w) // 1
+                                   + 202 * 128 + 128 * 128 + 128),
+            bytes_accessed=img_bkhW.size * img_bkhW.dtype.itemsize * d
+            + cur_bNc.size * 4 + b * d * N * 4,
+            transcendentals=b * d * N * k),
+    )(planes_bd, proj_bk44.astype(jnp.float32), pose_meta_bk3,
+      src_loc_bk3, img_bkhW, cur_bNc, rays_bN3, w0, b0, w1, b1, w2, b2)
 
     return out.reshape(b, d, N)

@@ -41,6 +41,7 @@ def run_volume(backend, d=4, tile=512):
     mod = MLPFeatureVolume(num_depth_bins=d, num_source_views=k,
                            matching_dim_size=cur.shape[-1],
                            backend=backend, pallas_tile=tile,
+                           pallas_warp_tile=tile,
                            dtype=jnp.float32)
     variables = mod.init(jax.random.PRNGKey(0), cur, src, extr, poses,
                          Ks, invK)
@@ -49,7 +50,18 @@ def run_volume(backend, d=4, tile=512):
     return np.asarray(vol), np.asarray(lowest)
 
 
-def test_pallas_matches_xla():
+def test_pallas_v1_matches_xla():
+    """Two-step path: XLA warp sweep + the metadata/MLP kernel."""
+    vol_xla, low_xla = run_volume("xla")
+    vol_pl, low_pl = run_volume("pallas_v1_interpret")
+    assert vol_xla.shape == vol_pl.shape
+    np.testing.assert_allclose(vol_xla, vol_pl, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(low_xla, low_pl, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_fused_warp_matches_xla():
+    """Fully fused path: in-kernel projection + two-hot MXU warp +
+    metadata + MLP must match the XLA reference volume."""
     vol_xla, low_xla = run_volume("xla")
     vol_pl, low_pl = run_volume("pallas_interpret")
     assert vol_xla.shape == vol_pl.shape

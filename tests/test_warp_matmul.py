@@ -1,0 +1,87 @@
+"""Parity of the MXU (two-hot matmul) plane-sweep warp vs the gather
+formulation. The matmul warp computes the exact same bilinear taps with
+zeros padding — on TPU it replaces ~200 ms of row-latency-bound gathers
+with ~2 TFLOP of dense matmuls (~6x faster end to end)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplerecon_tpu.ops import cost_volume as cv_ops
+
+
+def _geometry(b, k, h, w):
+    def rot(t):
+        R = np.eye(4, dtype=np.float32)
+        R[0, 0] = np.cos(t)
+        R[0, 2] = np.sin(t)
+        R[2, 0] = -np.sin(t)
+        R[2, 2] = np.cos(t)
+        return R
+
+    ex = np.stack([rot(0.03 * i) for i in range(k)])[None]
+    ex = np.broadcast_to(ex, (b, k, 4, 4)).copy()
+    ex[..., 0, 3] = np.linspace(-0.25, 0.25, k)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 60.0
+    K[0, 2], K[1, 2] = w / 2, h / 2
+    src_K = np.broadcast_to(K, (b, k, 4, 4)).copy()
+    invK = np.broadcast_to(np.linalg.inv(K), (b, 4, 4)).copy()
+    return ex, src_K, invK
+
+
+def test_matmul_warp_matches_gather_warp():
+    b, k, h, w, c, d = 2, 3, 48, 64, 8, 16
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
+    ex, src_K, invK = _geometry(b, k, h, w)
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
+
+    with jax.default_matmul_precision("highest"):
+        wg = cv_ops.sweep_warp(src, ex, src_K, invK, planes,
+                               backend="gather")
+        wm = cv_ops.sweep_warp_matmul(src, ex, src_K, invK, planes)
+
+    np.testing.assert_allclose(np.asarray(wm.sampled_bkdNc),
+                               np.asarray(wg.sampled_bkdNc),
+                               rtol=1e-4, atol=1e-4)
+    assert bool(jnp.all(wm.mask_bkdN == wg.mask_bkdN))
+    np.testing.assert_allclose(np.asarray(wm.depths_bkdN),
+                               np.asarray(wg.depths_bkdN))
+
+
+def test_matmul_warp_zero_padding_out_of_bounds():
+    """Samples that fall outside the source image must come back zero
+    (grid_sample padding_mode='zeros' semantics)."""
+    b, k, h, w, c, d = 1, 1, 16, 16, 4, 4
+    src = jnp.ones((b, k, h, w, c), jnp.float32)
+    ex = np.eye(4, dtype=np.float32)[None, None].copy()
+    ex[..., 0, 3] = 100.0  # push projections far off-image
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 20.0
+    K[0, 2], K[1, 2] = w / 2, h / 2
+    src_K = K[None, None].copy()
+    invK = np.linalg.inv(K)[None]
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 2.0)
+
+    wm = cv_ops.sweep_warp_matmul(src, ex, src_K, invK, planes)
+    assert float(jnp.abs(wm.sampled_bkdNc).max()) == 0.0
+
+
+def test_matmul_warp_is_differentiable():
+    """The MXU warp must be trainable: finite gradients w.r.t. features
+    (the gather warp's backward was a scatter — equally pathological on
+    TPU; the matmul warp's backward is more matmuls)."""
+    b, k, h, w, c, d = 1, 2, 16, 16, 4, 4
+    rng = np.random.RandomState(1)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
+    ex, src_K, invK = _geometry(b, k, h, w)
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
+
+    def loss(s):
+        wp = cv_ops.sweep_warp_matmul(s, ex, src_K, invK, planes)
+        return jnp.sum(wp.sampled_bkdNc ** 2)
+
+    g = jax.grad(loss)(src)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
