@@ -117,10 +117,13 @@ def build(backend: str, batch: int):
 
     opts = Options()  # hero defaults: 512x384, 64 planes, 8 views
     opts.precision = "16"  # bf16 compute
-    opts.fast_cost_volume = backend == "pallas"
+    opts.fast_cost_volume = backend.startswith("pallas")
     if os.environ.get("BENCH_MODEL") == "dot_product":
         opts.feature_volume_type = "simple_cost_volume"
     model = build_depth_model(opts)
+    if backend not in ("xla", "pallas"):
+        # e.g. pallas_v1 (two-step: XLA warp sweep + metadata/MLP kernel)
+        model = model.clone(cost_volume_backend=backend)
 
     import numpy as np
     data = make_example_batch(opts, batch_size=batch)

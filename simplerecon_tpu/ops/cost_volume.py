@@ -124,75 +124,137 @@ def _twohot(coord, size: int, dtype):
     return (hit0 * w0[..., None] + hit1 * w1[..., None]).astype(dtype)
 
 
+def _largest_divisor_leq(n: int, target: int) -> int:
+    t = min(n, max(1, target))
+    while n % t != 0:
+        t -= 1
+    return t
+
+
 def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
                       src_extrinsics_bk44: jnp.ndarray,
                       src_Ks_bk44: jnp.ndarray,
                       cur_invK_b44: jnp.ndarray,
                       depth_planes_bd: jnp.ndarray,
-                      row_chunk: Optional[int] = None) -> SweepWarp:
+                      tile_h: Optional[int] = None,
+                      tile_w: Optional[int] = None,
+                      x_band: Optional[int] = None) -> SweepWarp:
     """`sweep_warp` with the bilinear gather recast as MXU matmuls.
 
     TPU gathers are row-latency-bound: the 4-tap grid_sample warp of the
     hero model measures ~200 ms (98% of the forward) for ~22M 32-byte
     rows. Instead, exact bilinear sampling is computed as two separable
-    "two-hot" contractions: a (rows, h) x (h, w*c) matmul interpolates
-    in y, then a weighted reduce over w interpolates in x. That is
-    ~2.2 TFLOP of dense MXU work in place of the gathers — an order of
-    magnitude faster on this hardware, numerically identical (same tap
-    weights, zeros padding).
+    "two-hot" contractions: a (T, h) x (h, band*c) matmul interpolates
+    in y, then a weighted reduce over the x taps. Numerically identical
+    to grid_sample (same tap weights, zeros padding), but dense MXU
+    work instead of gathers.
 
-    The sample rows are processed in `row_chunk`-sized pieces under
-    `lax.scan` so the (rows, w*c) intermediate never exceeds ~100 MB.
+    MXU economics: the y-contraction dim is h <= 128, i.e. a single
+    systolic pass, so its cost is M x N regardless of how many source
+    rows actually carry tap weight. The lever is N = band*c: the
+    reference pixels are processed as (tile_h, tile_w) image tiles and
+    each (view, plane, tile) reads only a `x_band`-column slice of the
+    source image around the tile's projected x-range. Per-tile column
+    offsets are data-dependent; if any tile's x-spread exceeds the band
+    (pathological pose), a `lax.cond` falls back to the exact full-width
+    sweep for the whole call — banding never changes the result.
+
+    Batch elements are processed under `lax.map`, so per-frame time is
+    batch-size-invariant by construction (one batch's (T, band*c)
+    intermediates stay small enough for XLA to keep the y-matmul ->
+    x-reduce chain fused; batched variants measured 4x slower at b8).
     """
     b, k, h, w, c = src_feats_bkhwc.shape
     d = depth_planes_bd.shape[1]
     n = h * w
     dtype = src_feats_bkhwc.dtype
+    f32 = jnp.float32
+
+    th = _largest_divisor_leq(h, 32 if tile_h is None else tile_h)
+    tw = _largest_divisor_leq(w, 32 if tile_w is None else tile_w)
+    band = min(w, 48 if x_band is None else x_band)
+    T = th * tw                      # samples per tile
+    S = (h // th) * (w // tw)        # tiles per plane
 
     grid_N3 = geo.pixel_grid(h, w)
     rays_bN3 = jnp.einsum("nj,bij->bni", grid_N3,
-                          cur_invK_b44[:, :3, :3].astype(jnp.float32))
+                          cur_invK_b44[:, :3, :3].astype(f32))
     world_bdN3 = rays_bN3[:, None] * depth_planes_bd[..., None, None]
 
     uvz_bkdN3 = geo.project_points(
         world_bdN3[:, None],
-        src_Ks_bk44[:, :, None].astype(jnp.float32),
-        src_extrinsics_bk44[:, :, None].astype(jnp.float32))
+        src_Ks_bk44[:, :, None].astype(f32),
+        src_extrinsics_bk44[:, :, None].astype(f32))
     pix_bkdN2 = uvz_bkdN3[..., :2]
     depths_bkdN = uvz_bkdN3[..., 2]
 
+    def tiled(a_bkdN):
+        """(b, k, d, h*w) -> (b, k, d*S, T) in tile-major order."""
+        a = a_bkdN.reshape(b, k, d, h // th, th, w // tw, tw)
+        a = a.transpose(0, 1, 2, 3, 5, 4, 6)
+        return a.reshape(b, k, d * S, T)
+
     # index-space sample coords (half-pixel convention: centers at i+0.5)
-    x = pix_bkdN2[..., 0].reshape(b, k, d * n) - 0.5
-    y = pix_bkdN2[..., 1].reshape(b, k, d * n) - 0.5
+    x = tiled(pix_bkdN2[..., 0] - 0.5)          # (b, k, d*S, T)
+    y = tiled(pix_bkdN2[..., 1] - 0.5)
 
-    rows_total = d * n
-    if row_chunk is None:
-        # keep the scan body's f32 (b, k, r, w*c) intermediate near
-        # ~100 MB so XLA can fuse it; larger blocks stop fusing and the
-        # sweep becomes HBM-bandwidth-bound (measured 3x slower at b8)
-        target = (100 << 20) // max(1, b * k * w * c * 4)
-        row_chunk = max(256, min(4096, target))
-    chunk = min(row_chunk, rows_total)
-    while rows_total % chunk != 0:
-        chunk -= 1
-    n_chunks = rows_total // chunk
+    # per-(view, plane, tile) column band: rows actually needed are
+    # clip(floor(x), 0, w-1) .. clip(floor(x)+1, 0, w-1); samples with no
+    # in-range tap contribute nothing and are excluded from the span
+    x0 = jnp.floor(x)
+    has_tap = (x > -1.0) & (x < w)
+    lo = jnp.min(jnp.where(has_tap, jnp.clip(x0, 0, w - 1), w - 1),
+                 axis=-1)                        # (b, k, d*S)
+    hi = jnp.max(jnp.where(has_tap, jnp.clip(x0 + 1, 0, w - 1), 0),
+                 axis=-1)
+    fits = jnp.all(hi - lo <= band - 1)
+    off = jnp.clip(lo, 0, w - band).astype(jnp.int32)
 
-    img_bkhW = src_feats_bkhwc.reshape(b, k, h, w * c)
+    def sweep_one(img_khwc, x_kST, y_kST, off_kS, cur_band: int):
+        """One batch element; scan over the d*S tile axis."""
+        img_khX = img_khwc.reshape(k, h, w * c)
 
-    def step(_, xy):
-        x_c, y_c = xy  # (b, k, chunk)
-        ohy = _twohot(y_c, h, dtype)                    # (b, k, r, h)
-        rows = jnp.einsum("bkrh,bkhW->bkrW", ohy, img_bkhW,
-                          preferred_element_type=jnp.float32)
-        rows = rows.reshape(b, k, chunk, w, c)
-        ohx = _twohot(x_c, w, jnp.float32)              # (b, k, r, w)
-        out = jnp.einsum("bkrw,bkrwc->bkrc", ohx, rows)
-        return None, out.astype(dtype)
+        def step(_, xs):
+            x_t, y_t, off_t = xs                 # (k, T), (k, T), (k,)
+            col = off_t * c
 
-    xs = (x.reshape(b, k, n_chunks, chunk).transpose(2, 0, 1, 3),
-          y.reshape(b, k, n_chunks, chunk).transpose(2, 0, 1, 3))
-    _, outs = jax.lax.scan(step, None, xs)
-    sampled = outs.transpose(1, 2, 0, 3, 4).reshape(b, k, d, n, c)
+            def one_view(img_hX, x_v, y_v, col_v):
+                sl = jax.lax.dynamic_slice(
+                    img_hX, (0, col_v), (h, cur_band * c))
+                ohy = _twohot(y_v, h, dtype)               # (T, h)
+                rows = jnp.einsum("th,hX->tX", ohy, sl,
+                                  preferred_element_type=f32)
+                rows = rows.reshape(T, cur_band, c)
+                xo = x_v - (col_v // c).astype(f32)
+                ohx = _twohot(xo, cur_band, f32)           # (T, band)
+                return jnp.einsum("tx,txc->tc", ohx, rows).astype(dtype)
+
+            out = jax.vmap(one_view)(img_khX, x_t, y_t, col)
+            return None, out                     # (k, T, c)
+
+        xs = (x_kST.transpose(1, 0, 2), y_kST.transpose(1, 0, 2),
+              off_kS.transpose(1, 0))
+        _, outs = jax.lax.scan(step, None, xs)   # (d*S, k, T, c)
+        return outs
+
+    def run(cur_band: int, off_b):
+        return jax.lax.map(
+            lambda a: sweep_one(a[0], a[1], a[2], a[3], cur_band),
+            (src_feats_bkhwc, x, y, off_b))      # (b, d*S, k, T, c)
+
+    if band < w:
+        outs = jax.lax.cond(
+            fits,
+            lambda: run(band, off),
+            lambda: run(w, jnp.zeros_like(off)))
+    else:
+        outs = run(w, jnp.zeros_like(off))
+
+    # (b, d*S, k, T, c) -> (b, k, d, N, c) undoing the tile ordering
+    sampled = outs.transpose(0, 2, 1, 3, 4).reshape(
+        b, k, d, h // th, w // tw, th, tw, c)
+    sampled = sampled.transpose(0, 1, 2, 3, 5, 4, 6, 7).reshape(
+        b, k, d, n, c)
 
     mask_bkdN = (depths_bkdN > 0).astype(dtype)
     return SweepWarp(world_bdN3, sampled, depths_bkdN, mask_bkdN,

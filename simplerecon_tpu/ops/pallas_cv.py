@@ -213,6 +213,10 @@ def fused_feature_volume(sampled_kRc: jnp.ndarray,
                                lambda bd, n: (row_block(bd, n),)),
         out_shape=jax.ShapeDtypeStruct((b * d * N,), jnp.float32),
         interpret=interpret,
+        # the (k, tile, c) sampled block + f32 casts overflow the 16 MB
+        # default scoped-VMEM cap at tile=1024; v5e has 128 MB physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * R * (202 * 128 + 128 * 128 + 128),
             bytes_accessed=sampled_kRc.size * sampled_kRc.dtype.itemsize

@@ -1,0 +1,99 @@
+"""On-device micro-benchmark of the plane-sweep warp configurations.
+
+Same honesty harness as bench.py (chained iterations inside one jitted
+program, two chain lengths differenced). Hero shapes by default:
+(b, k, h, w, c) = (1, 7, 96, 128, 16) bf16, 64 planes.
+
+    python -m simplerecon_tpu.scripts.bench_warp [batch] [cfg ...]
+
+cfg strings: "gather", or "tile_h,tile_w,band" e.g. "32,32,48".
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplerecon_tpu.ops import cost_volume as cv_ops
+
+
+def _two_point(make_chain, args, k1=2, k2=8, repeats=3):
+    c1 = jax.jit(make_chain(k1))
+    c2 = jax.jit(make_chain(k2))
+    float(c1(*args))
+    float(c2(*args))
+
+    def timed(fn):
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return sorted(ts)[len(ts) // 2]
+
+    return (timed(c2) - timed(c1)) / (k2 - k1)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    cfgs = sys.argv[2:] or ["gather", "96,128,128", "32,32,48", "32,32,32",
+                            "96,32,64", "32,64,80", "16,32,48", "96,32,48"]
+
+    b, k, h, w, c, d = batch, 7, 96, 128, 16, 64
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.bfloat16)
+
+    def rot(t):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0] = m[2, 2] = np.cos(t)
+        m[0, 2] = np.sin(t)
+        m[2, 0] = -np.sin(t)
+        return m
+
+    ex = np.stack([rot(0.04 * i) for i in range(k)])[None]
+    ex = np.broadcast_to(ex, (b, k, 4, 4)).copy()
+    ex[..., 0, 3] = np.linspace(-0.15, 0.15, k)
+    Km = np.eye(4, dtype=np.float32)
+    Km[0, 0] = Km[1, 1] = 120.0
+    Km[0, 2], Km[1, 2] = w / 2, h / 2
+    src_K = jnp.asarray(np.broadcast_to(Km, (b, k, 4, 4)).copy())
+    invK = jnp.asarray(np.broadcast_to(np.linalg.inv(Km), (b, 4, 4)).copy())
+    ex = jnp.asarray(ex)
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
+
+    for cfg in cfgs:
+        if cfg == "gather":
+            fn = lambda s: cv_ops.sweep_warp(  # noqa: E731
+                s, ex, src_K, invK, planes, backend="gather")
+            label = "gather"
+        else:
+            th, tw, band = (int(v) for v in cfg.split(","))
+            fn = lambda s, th=th, tw=tw, band=band: \
+                cv_ops.sweep_warp_matmul(s, ex, src_K, invK, planes,
+                                         tile_h=th, tile_w=tw, x_band=band)
+            label = f"tile=({th},{tw}) band={band}"
+
+        def make_chain(kk, fn=fn):
+            def chain(s):
+                def body(i, token):
+                    si = s + (token + i.astype(jnp.float32) * 0.01
+                              ).astype(s.dtype)
+                    warp = fn(si)
+                    return jnp.sum(warp.sampled_bkdNc.astype(jnp.float32)
+                                   ) * jnp.float32(1e-9)
+                return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+            return chain
+
+        try:
+            ms = _two_point(make_chain, (src,))
+            print(f"  b{batch} {label:24s} {ms:8.3f} ms")
+        except Exception as e:  # noqa: BLE001
+            print(f"  b{batch} {label:24s} FAILED: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,50 @@ def test_matmul_warp_zero_padding_out_of_bounds():
     assert float(jnp.abs(wm.sampled_bkdNc).max()) == 0.0
 
 
+def test_matmul_warp_band_sizes_all_exact():
+    """Column banding is a pure optimization: every band size (including
+    ones too small for the motion, which must trigger the exact
+    full-width fallback) yields grid_sample-identical samples."""
+    b, k, h, w, c, d = 1, 2, 32, 64, 8, 8
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
+    ex, src_K, invK = _geometry(b, k, h, w)
+    ex[..., 0, 3] = np.linspace(-1.5, 1.5, k)  # big baseline: wide spread
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
+
+    with jax.default_matmul_precision("highest"):
+        ref = cv_ops.sweep_warp(src, ex, src_K, invK, planes,
+                                backend="gather")
+        for band in (8, 16, 48, w):
+            got = cv_ops.sweep_warp_matmul(src, ex, src_K, invK, planes,
+                                           x_band=band)
+            np.testing.assert_allclose(np.asarray(got.sampled_bkdNc),
+                                       np.asarray(ref.sampled_bkdNc),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"band={band}")
+
+
+def test_matmul_warp_tile_sizes_all_exact():
+    """Tile decomposition must be order-exact for non-divisor-friendly
+    tile requests (helper rounds down to a divisor)."""
+    b, k, h, w, c, d = 1, 2, 24, 40, 4, 4
+    rng = np.random.RandomState(4)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
+    ex, src_K, invK = _geometry(b, k, h, w)
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
+
+    with jax.default_matmul_precision("highest"):
+        ref = cv_ops.sweep_warp(src, ex, src_K, invK, planes,
+                                backend="gather")
+        for th, tw in ((8, 8), (32, 32), (5, 13)):
+            got = cv_ops.sweep_warp_matmul(src, ex, src_K, invK, planes,
+                                           tile_h=th, tile_w=tw)
+            np.testing.assert_allclose(np.asarray(got.sampled_bkdNc),
+                                       np.asarray(ref.sampled_bkdNc),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"tile={th}x{tw}")
+
+
 def test_matmul_warp_is_differentiable():
     """The MXU warp must be trainable: finite gradients w.r.t. features
     (the gather warp's backward was a scatter — equally pathological on
