@@ -30,7 +30,8 @@ The harness therefore measures *on-device* time by construction:
     harness (measured: ~3.5 ms = 39 TFLOP/s, physically sensible).
 
 Env knobs (defaults chosen for the driver run):
-    BENCH_BACKEND   xla | pallas   (cost-volume path; default pallas)
+    BENCH_BACKEND   xla | pallas | pallas_v1
+                    (cost-volume path; default xla — fastest measured)
     BENCH_BATCH     batch size     (default 1; latency still /frame)
     BENCH_REPEATS   timing repeats per chain length (default 3)
     BENCH_K1/K2     chain lengths  (default 2 / 10)
@@ -48,6 +49,12 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: full-model TPU compiles take minutes; repeat
+# driver/bench invocations with unchanged code hit the cache instead
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_B1_MS = 70.0   # hero, fast cost volume, A100, batch 1
 BASELINE_B8_MS = 40.0   # hero, A100, batch 8, per frame
@@ -117,13 +124,10 @@ def build(backend: str, batch: int):
 
     opts = Options()  # hero defaults: 512x384, 64 planes, 8 views
     opts.precision = "16"  # bf16 compute
-    opts.fast_cost_volume = backend.startswith("pallas")
+    opts.cost_volume_backend = backend
     if os.environ.get("BENCH_MODEL") == "dot_product":
         opts.feature_volume_type = "simple_cost_volume"
     model = build_depth_model(opts)
-    if backend not in ("xla", "pallas"):
-        # e.g. pallas_v1 (two-step: XLA warp sweep + metadata/MLP kernel)
-        model = model.clone(cost_volume_backend=backend)
 
     import numpy as np
     data = make_example_batch(opts, batch_size=batch)
@@ -144,10 +148,13 @@ def build(backend: str, batch: int):
     def forward_once(variables, cur, src, token, idx):
         cur = dict(cur)
         # the token chains iterations (device-side dataflow dependency);
-        # idx keeps every iteration's input bit-distinct even after
-        # bf16 casts
-        cur["image_b3hw"] = cur["image_b3hw"] + token \
-            + idx * jnp.float32(0.01)
+        # idx keeps every iteration's input bit-distinct even after bf16
+        # casts. maximum() rather than + : an additive scalar would
+        # distribute through the first (linear) conv and let XLA hoist
+        # loop-invariant work out of the chain (see bench_calibrate).
+        cur["image_b3hw"] = jnp.maximum(
+            cur["image_b3hw"],
+            token - jnp.float32(5.0) + idx * jnp.float32(1e-6))
         out = model.apply(variables, cur, src, flip=False, train=False)
         depth = out["depth_pred_s0_bhw1"]
         return jnp.mean(depth.astype(jnp.float32)) * jnp.float32(1e-4)
@@ -246,7 +253,15 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
 
 def bench_calibrate(k1: int, k2: int, repeats: int):
     """Times a known-FLOPs bf16 matmul through the chained harness and
-    reports implied TFLOP/s — must come out <= the physical peak."""
+    reports implied TFLOP/s — must come out <= the physical peak.
+
+    Two traps this guards against (both produced super-physical numbers
+    when first hit): (a) an ADDITIVE token perturbation distributes
+    through the bilinear matmul — XLA can rewrite (a+s)@b as a@b +
+    s*colsum(b) and hoist the loop-invariant a@b out of the chain — so
+    the perturbation is `maximum(a, token)`, which does not distribute;
+    (b) one 4096^3 matmul is ~0.7 ms, below the relay's timing jitter,
+    so calibration uses long chains (>= 10 / >= 110 iterations)."""
     n = 4096
     flops_per_iter = 2.0 * n * n * n  # 137.4 GFLOP
     a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
@@ -255,14 +270,16 @@ def bench_calibrate(k1: int, k2: int, repeats: int):
     def make_chain(k: int):
         def chain(a, b):
             def body(i, token):
-                a2 = a + (token + i.astype(jnp.float32) * 0.11
-                          ).astype(jnp.bfloat16)
+                a2 = jnp.maximum(
+                    a, (token - 5.0 + i.astype(jnp.float32) * 1e-6
+                        ).astype(jnp.bfloat16))
                 c = a2 @ b
                 return jnp.mean(c.astype(jnp.float32)) * jnp.float32(1e-9)
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
         return chain
 
-    per_iter_ms = _two_point_per_iter_ms(make_chain, (a, b), k1, k2,
+    per_iter_ms = _two_point_per_iter_ms(make_chain, (a, b),
+                                         max(k1, 10), max(k2, 110),
                                          repeats)
     tflops = flops_per_iter / (per_iter_ms * 1e-3) / 1e12
     if tflops > PEAK_BF16_TFLOPS:
@@ -279,7 +296,7 @@ def bench_calibrate(k1: int, k2: int, repeats: int):
 
 
 def main():
-    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    backend = os.environ.get("BENCH_BACKEND", "xla")
     mode = os.environ.get("BENCH_MODE", "infer")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     k1 = int(os.environ.get("BENCH_K1", "2"))

@@ -64,8 +64,10 @@ class DepthModel(nn.Module):
     cv_encoder_ch: Tuple[int, ...] = (64, 128, 256, 384)
     plane_chunk: int = 8
     remat_cost_volume: bool = True
-    # "xla" (training; chunked+remat) or "pallas" (fused inference kernel,
-    # the analogue of the reference's --fast_cost_volume)
+    # "xla" (banded MXU matmul sweep, chunked+remat — fastest measured
+    # path for both training and inference) | "pallas" (fully fused
+    # warp+metadata+MLP kernel) | "pallas_v1" (XLA warp + metadata/MLP
+    # kernel)
     cost_volume_backend: str = "xla"
     # rematerialize the big submodules in the backward pass; costs ~1/3
     # extra forward FLOPs during training, cuts activation memory several
@@ -226,6 +228,5 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         model_num_views=opts.model_num_views,
         feature_volume_type=opts.feature_volume_type,
         matching_encoder_type=opts.matching_encoder_type,
-        cost_volume_backend="pallas" if getattr(opts, "fast_cost_volume",
-                                                False) else "xla",
+        cost_volume_backend=getattr(opts, "cost_volume_backend", "xla"),
         dtype=dtype)

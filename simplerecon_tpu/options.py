@@ -104,9 +104,15 @@ class Options:
     cache_depths: bool = False
     fusion_use_raw_lowest_cost: bool = False
     high_res_validation: bool = False
-    # use the fused Pallas plane-sweep kernel at inference (the analogue of
-    # the reference's --fast_cost_volume, /root/reference/test.py:196-198).
+    # the reference's --fast_cost_volume (/root/reference/test.py:196-198)
+    # swaps in a faster inference cost volume. Here the default XLA
+    # banded-matmul sweep IS the fastest measured path, so this flag is
+    # honored but changes nothing unless cost_volume_backend is also set.
     fast_cost_volume: bool = False
+    # "xla" (banded MXU matmul sweep; fastest measured, used for training
+    # and inference) | "pallas" (fully fused warp+metadata+MLP kernel) |
+    # "pallas_v1" (XLA warp sweep + fused metadata/MLP kernel)
+    cost_volume_backend: str = "xla"
 
     # --------------------------- visualization ----------------------------
     standard_fps: int = 30

@@ -44,7 +44,7 @@ def main(backend: str = "pallas", batch: int = 1):
 
     opts = Options()
     opts.precision = "16"
-    opts.fast_cost_volume = backend == "pallas"
+    opts.cost_volume_backend = backend
     model = build_depth_model(opts)
 
     data = make_example_batch(opts, batch_size=batch)

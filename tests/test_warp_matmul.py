@@ -91,6 +91,27 @@ def test_matmul_warp_band_sizes_all_exact():
                                        err_msg=f"band={band}")
 
 
+def test_matmul_warp_mixed_batch_tiers_exact():
+    """Tiering is per batch element: a batch mixing a gentle pose (fits
+    the narrow band) with a violent one (must fall back) stays exact for
+    both elements."""
+    b, k, h, w, c, d = 2, 2, 32, 64, 8, 8
+    rng = np.random.RandomState(5)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
+    ex, src_K, invK = _geometry(b, k, h, w)
+    ex[1, :, 0, 3] = np.linspace(-2.0, 2.0, k)  # element 1: wide spread
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
+
+    with jax.default_matmul_precision("highest"):
+        ref = cv_ops.sweep_warp(src, ex, src_K, invK, planes,
+                                backend="gather")
+        got = cv_ops.sweep_warp_matmul(src, ex, src_K, invK, planes,
+                                       x_band=16)
+    np.testing.assert_allclose(np.asarray(got.sampled_bkdNc),
+                               np.asarray(ref.sampled_bkdNc),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_matmul_warp_tile_sizes_all_exact():
     """Tile decomposition must be order-exact for non-divisor-friendly
     tile requests (helper rounds down to a divisor)."""
