@@ -215,7 +215,17 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
 
     opts = Options()
     opts.precision = "16"
+    opts.cost_volume_backend = os.environ.get("BENCH_BACKEND", "xla")
     model = build_depth_model(opts)
+    # remat ablation knobs: BENCH_REMAT=0 keeps submodule activations,
+    # BENCH_REMAT_CV=0 keeps cost-volume chunk activations
+    clones = {}
+    if os.environ.get("BENCH_REMAT") == "0":
+        clones["remat_submodules"] = False
+    if os.environ.get("BENCH_REMAT_CV") == "0":
+        clones["remat_cost_volume"] = False
+    if clones:
+        model = model.clone(**clones)
     optimizer = make_optimizer(opts)
 
     host = make_example_batch(opts, batch_size=batch)

@@ -158,9 +158,11 @@ class MLPFeatureVolume(nn.Module):
     mlp_hidden: Tuple[int, ...] = (128, 128)
     plane_chunk: int = 8
     remat: bool = True
-    # "xla" | "pallas" (fused warp kernel) | "pallas_v1" (two-step XLA
-    # warp + metadata/MLP kernel); *_interpret variants run the kernel
-    # in the Pallas interpreter (CPU tests)
+    # "xla" (chunked+remat assembly) | "xla_fused" (metadata+MLP fused
+    # into the banded warp scan — no warp/metadata stack in HBM) |
+    # "pallas" (fused warp kernel) | "pallas_v1" (two-step XLA warp +
+    # metadata/MLP kernel); *_interpret variants run the kernel in the
+    # Pallas interpreter (CPU tests)
     backend: str = "xla"
     pallas_tile: int = 1024
     # 1-D f32 outputs need 1024-element tiles (Mosaic/XLA layout)
@@ -194,7 +196,19 @@ class MLPFeatureVolume(nn.Module):
         pose_penalty_bk3 = jnp.stack([penalty, r_meas, t_meas], axis=-1)
         src_cam_loc_bk3 = poses[..., :3, 3]
 
-        if self.backend.startswith("pallas") and not self.is_initializing():
+        if self.backend == "xla_fused" and not self.is_initializing():
+            # metadata+MLP fused into the banded warp scan: neither the
+            # warp stack nor the 202-ch MLP input ever exists in HBM
+            p = self.mlp.variables["params"]
+            volume_bdN = cv_ops.sweep_mlp_volume(
+                src_feats_bkhwc.astype(self.dtype), cur_bNc,
+                src_extrinsics_bk44, src_Ks_bk44, cur_invK_b44,
+                planes_bd, pose_penalty_bk3, src_cam_loc_bk3,
+                ((p["dense0"]["kernel"], p["dense0"]["bias"]),
+                 (p["dense1"]["kernel"], p["dense1"]["bias"]),
+                 (p["dense2"]["kernel"], p["dense2"]["bias"])),
+                compute_dtype=self.dtype)
+        elif self.backend.startswith("pallas") and not self.is_initializing():
             volume_bdN = self._pallas_volume(
                 planes_bd, cur_bNc, src_feats_bkhwc, src_extrinsics_bk44,
                 src_Ks_bk44, cur_invK_b44, src_cam_loc_bk3,

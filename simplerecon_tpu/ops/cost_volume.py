@@ -281,6 +281,179 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
                      pix_bkdN2)
 
 
+def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
+                     cur_bNc: jnp.ndarray,
+                     src_extrinsics_bk44: jnp.ndarray,
+                     src_Ks_bk44: jnp.ndarray,
+                     cur_invK_b44: jnp.ndarray,
+                     depth_planes_bd: jnp.ndarray,
+                     pose_penalty_bk3: jnp.ndarray,
+                     src_cam_loc_bk3: jnp.ndarray,
+                     mlp_params,
+                     compute_dtype=jnp.bfloat16,
+                     tile_h: Optional[int] = None,
+                     tile_w: Optional[int] = None,
+                     x_band: Optional[int] = None) -> jnp.ndarray:
+    """Banded MXU warp with the metadata MLP fused into the sweep.
+
+    Same tiered column-banded two-hot warp as `sweep_warp_matmul`, but
+    each scan step immediately assembles the 202-channel metadata vector
+    (exact reference order, `modules/cost_volume.py:709-723`) and runs
+    the MLP on the tile — so neither the (b, k, d, N, c) warp stack nor
+    the (b, d, N, 202) MLP input ever exists in HBM. The per-step MLP
+    is three more MXU matmuls ((T,202)x(202,128) etc.), ~0.3 ms total
+    on hero shapes, in exchange for several ms of stack traffic.
+
+    mlp_params: ((w0, b0), (w1, b1), (w2, b2)) — Dense kernels of shape
+    (in, out), LeakyReLU(0.01) between layers (reference MLP semantics,
+    `modules/networks.py:129-147`).
+
+    Returns (b, d, N) fp32 matching scores.
+    """
+    b, k, h, w, c = src_feats_bkhwc.shape
+    d = depth_planes_bd.shape[1]
+    n = h * w
+    dtype = compute_dtype
+    f32 = jnp.float32
+
+    th = _largest_divisor_leq(h, h if tile_h is None else tile_h)
+    tw = _largest_divisor_leq(w, 32 if tile_w is None else tile_w)
+    if x_band is None:
+        bands = [v for v in (40, 64) if v < w]
+    else:
+        bands = [x_band] if x_band < w else []
+    T = th * tw
+    S = (h // th) * (w // tw)
+
+    grid_N3 = geo.pixel_grid(h, w)
+    rays_bN3 = jnp.einsum("nj,bij->bni", grid_N3,
+                          cur_invK_b44[:, :3, :3].astype(f32))
+    world_bdN3 = rays_bN3[:, None] * depth_planes_bd[..., None, None]
+    uvz_bkdN3 = geo.project_points(
+        world_bdN3[:, None],
+        src_Ks_bk44[:, :, None].astype(f32),
+        src_extrinsics_bk44[:, :, None].astype(f32))
+
+    def tiled_kd(a_bkdN):
+        a = a_bkdN.reshape(b, k, d, h // th, th, w // tw, tw)
+        a = a.transpose(0, 1, 2, 3, 5, 4, 6)
+        return a.reshape(b, k, d * S, T)
+
+    def tiled_pix(a_bNe):
+        e = a_bNe.shape[-1]
+        a = a_bNe.reshape(b, h // th, th, w // tw, tw, e)
+        a = a.transpose(0, 1, 3, 2, 4, 5).reshape(b, S, T, e)
+        return jnp.broadcast_to(a[:, None], (b, d, S, T, e)
+                                ).reshape(b, d * S, T, e)
+
+    x = tiled_kd(uvz_bkdN3[..., 0] - 0.5)       # (b, k, d*S, T)
+    y = tiled_kd(uvz_bkdN3[..., 1] - 0.5)
+    z = tiled_kd(uvz_bkdN3[..., 2])             # projected depth (z+eps)
+    rays_t = tiled_pix(rays_bN3)                # (b, d*S, T, 3)
+    cur_t = tiled_pix(cur_bNc.astype(dtype))    # (b, d*S, T, c)
+    plane_t = jnp.repeat(depth_planes_bd, S, axis=1)  # (b, d*S)
+
+    x0 = jnp.floor(x)
+    has_tap = (x > -1.0) & (x < w)
+    lo = jnp.min(jnp.where(has_tap, jnp.clip(x0, 0, w - 1), w - 1),
+                 axis=-1)
+    hi = jnp.max(jnp.where(has_tap, jnp.clip(x0 + 1, 0, w - 1), 0),
+                 axis=-1)
+    offs = [jnp.clip(lo, 0, w - v).astype(jnp.int32) for v in bands]
+    fits = [jnp.all(((hi - lo <= v - 1) | (lo >= w - v))
+                    .reshape(b, -1), axis=-1) for v in bands]
+    zero_off = jnp.zeros_like(lo, dtype=jnp.int32)
+
+    (w0, b0), (w1, b1), (w2, b2) = mlp_params
+    w0 = w0.astype(dtype)
+    w1 = w1.astype(dtype)
+    w2 = w2.astype(dtype)
+
+    def volume_one(args):
+        (img_khwc, x_kST, y_kST, z_kST, rays_ST3, cur_STc, plane_S,
+         penalty_k3, loc_k3, offs_1, fits_1) = args
+        img_khX = img_khwc.reshape(k, h, w * c)
+
+        def run(cur_band: int, off_kS):
+            @jax.checkpoint
+            def step(_, xs):
+                x_t, y_t, z_t, off_t, rays0, cur, plane = xs
+                col = off_t * c
+
+                def one_view(img_hX, x_v, y_v, col_v):
+                    sl = jax.lax.dynamic_slice(
+                        img_hX, (0, col_v), (h, cur_band * c))
+                    ohy = _twohot(y_v, h, dtype)
+                    rows = jnp.einsum("th,hX->tX", ohy, sl,
+                                      preferred_element_type=f32)
+                    rows = rows.reshape(T, cur_band, c)
+                    xo = x_v - (col_v // c).astype(f32)
+                    ohx = _twohot(xo, cur_band, f32)
+                    return jnp.einsum("tx,txc->tc", ohx,
+                                      rows).astype(dtype)
+
+                sampled = jax.vmap(one_view)(img_khX, x_t, y_t, col)
+
+                # metadata assembly, exact reference channel order
+                mask = (z_t > 0).astype(f32)                   # (k, T)
+                cur_f = cur.astype(f32)                        # (T, c)
+                dots = jnp.einsum("ktc,tc->kt",
+                                  sampled.astype(f32), cur_f) * mask
+                world = rays0 * plane                          # (T, 3)
+                cur_ray = geo.normalize(world, axis=-1)
+                src_rays = geo.normalize(
+                    world[None] - loc_k3[:, None, :], axis=-1)  # (k,T,3)
+                angle = geo.cosine_similarity(
+                    cur_ray[None], src_rays, axis=-1, eps=1e-5)  # (k,T)
+
+                feats = jnp.concatenate(
+                    [sampled.transpose(1, 0, 2).reshape(T, k * c),
+                     cur_f,
+                     mask.T, z_t.T,
+                     jnp.full((T, 1), plane, f32),
+                     dots.T, angle.T,
+                     cur_ray,
+                     src_rays.transpose(1, 0, 2).reshape(T, k * 3),
+                     jnp.broadcast_to(penalty_k3[:, 0][None], (T, k)),
+                     jnp.broadcast_to(penalty_k3[:, 1][None], (T, k)),
+                     jnp.broadcast_to(penalty_k3[:, 2][None], (T, k))],
+                    axis=-1).astype(dtype)                     # (T, C_in)
+
+                h0 = jnp.dot(feats, w0,
+                             preferred_element_type=f32) + b0
+                h0 = jax.nn.leaky_relu(h0, 0.01).astype(dtype)
+                h1 = jnp.dot(h0, w1,
+                             preferred_element_type=f32) + b1
+                h1 = jax.nn.leaky_relu(h1, 0.01).astype(dtype)
+                out = jnp.dot(h1, w2,
+                              preferred_element_type=f32) + b2
+                return None, out[:, 0]                         # (T,)
+
+            xs = (x_kST.transpose(1, 0, 2), y_kST.transpose(1, 0, 2),
+                  z_kST.transpose(1, 0, 2), off_kS.transpose(1, 0),
+                  rays_ST3, cur_STc, plane_S)
+            _, outs = jax.lax.scan(step, None, xs)
+            return outs                                        # (d*S, T)
+
+        def tiered(i: int):
+            if i == len(bands):
+                return run(w, zero_off[0])
+            return jax.lax.cond(fits_1[i],
+                                lambda: run(bands[i], offs_1[i]),
+                                lambda: tiered(i + 1))
+        return tiered(0)
+
+    outs = jax.lax.map(
+        volume_one,
+        (src_feats_bkhwc.astype(dtype), x, y, z, rays_t, cur_t, plane_t,
+         pose_penalty_bk3.astype(f32), src_cam_loc_bk3.astype(f32),
+         tuple(offs), tuple(fits)))                            # (b,d*S,T)
+
+    vol = outs.reshape(b, d, h // th, w // tw, th, tw)
+    vol = vol.transpose(0, 1, 2, 4, 3, 5).reshape(b, d, n)
+    return vol
+
+
 def border_validity_mask(pix_bkN2: jnp.ndarray, height: int, width: int
                          ) -> jnp.ndarray:
     """Reference `get_mask`: strictly inside a 2-pixel border

@@ -136,35 +136,40 @@ def test_feature_volume_matches_torch_reference_replica():
     src = rng.randn(B, K, H, W, C).astype(np.float32)
     extr, poses, Ks, invK = _geometry()
 
-    mod = MLPFeatureVolume(num_depth_bins=D, min_depth=MIN_D,
-                           max_depth=MAX_D, matching_dim_size=C,
-                           num_source_views=K, mlp_hidden=(16, 16),
-                           backend="xla", dtype=jnp.float32)
-    with jax.default_matmul_precision("highest"):
-        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(cur),
-                             jnp.asarray(src), jnp.asarray(extr),
-                             jnp.asarray(poses), jnp.asarray(Ks),
-                             jnp.asarray(invK))
-        vol_bhwd, _, planes_bd, _ = mod.apply(
-            variables, jnp.asarray(cur), jnp.asarray(src),
-            jnp.asarray(extr), jnp.asarray(poses), jnp.asarray(Ks),
-            jnp.asarray(invK))
+    ref = None
+    for backend in ("xla", "xla_fused"):
+        mod = MLPFeatureVolume(num_depth_bins=D, min_depth=MIN_D,
+                               max_depth=MAX_D, matching_dim_size=C,
+                               num_source_views=K, mlp_hidden=(16, 16),
+                               backend=backend, dtype=jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(cur),
+                                 jnp.asarray(src), jnp.asarray(extr),
+                                 jnp.asarray(poses), jnp.asarray(Ks),
+                                 jnp.asarray(invK))
+            vol_bhwd, _, planes_bd, _ = mod.apply(
+                variables, jnp.asarray(cur), jnp.asarray(src),
+                jnp.asarray(extr), jnp.asarray(poses), jnp.asarray(Ks),
+                jnp.asarray(invK))
 
-    mlp_params = []
-    p = variables["params"]["mlp"]
-    for name in sorted(p.keys()):  # dense0, dense1, dense2
-        mlp_params.append((torch.from_numpy(np.asarray(p[name]["kernel"]).T),
-                           torch.from_numpy(np.asarray(p[name]["bias"]))))
+        if ref is None:
+            mlp_params = []
+            p = variables["params"]["mlp"]
+            for name in sorted(p.keys()):  # dense0, dense1, dense2
+                mlp_params.append(
+                    (torch.from_numpy(np.asarray(p[name]["kernel"]).T),
+                     torch.from_numpy(np.asarray(p[name]["bias"]))))
+            ref = _torch_reference_volume(
+                torch.from_numpy(cur).permute(0, 3, 1, 2),
+                torch.from_numpy(src).permute(0, 1, 4, 2, 3),
+                torch.from_numpy(extr), torch.from_numpy(poses),
+                torch.from_numpy(Ks), torch.from_numpy(invK),
+                torch.from_numpy(np.asarray(planes_bd)),
+                mlp_params).numpy()
 
-    ref = _torch_reference_volume(
-        torch.from_numpy(cur).permute(0, 3, 1, 2),
-        torch.from_numpy(src).permute(0, 1, 4, 2, 3),
-        torch.from_numpy(extr), torch.from_numpy(poses),
-        torch.from_numpy(Ks), torch.from_numpy(invK),
-        torch.from_numpy(np.asarray(planes_bd)), mlp_params)
-
-    ours = np.asarray(vol_bhwd).transpose(0, 3, 1, 2)     # -> (b, d, h, w)
-    np.testing.assert_allclose(ours, ref.numpy(), rtol=2e-4, atol=2e-4)
+        ours = np.asarray(vol_bhwd).transpose(0, 3, 1, 2)  # (b, d, h, w)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4,
+                                   err_msg=backend)
 
 
 def test_feature_volume_pallas_kernels_match_torch_replica():
