@@ -215,7 +215,8 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
 
     opts = Options()
     opts.precision = "16"
-    opts.cost_volume_backend = os.environ.get("BENCH_BACKEND", "xla")
+    opts.cost_volume_backend = os.environ.get("BENCH_BACKEND",
+                                              "xla_fused")
     model = build_depth_model(opts)
     # remat ablation knobs: BENCH_REMAT=0 keeps submodule activations,
     # BENCH_REMAT_CV=0 keeps cost-volume chunk activations
@@ -306,7 +307,7 @@ def bench_calibrate(k1: int, k2: int, repeats: int):
 
 
 def main():
-    backend = os.environ.get("BENCH_BACKEND", "xla")
+    backend = os.environ.get("BENCH_BACKEND", "xla_fused")
     mode = os.environ.get("BENCH_MODE", "infer")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     k1 = int(os.environ.get("BENCH_K1", "2"))

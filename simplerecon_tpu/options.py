@@ -109,11 +109,12 @@ class Options:
     # banded-matmul sweep IS the fastest measured path, so this flag is
     # honored but changes nothing unless cost_volume_backend is also set.
     fast_cost_volume: bool = False
-    # "xla" (banded MXU matmul sweep, chunked metadata assembly) |
-    # "xla_fused" (metadata+MLP fused into the banded warp scan) |
-    # "pallas" (fully fused warp+metadata+MLP kernel) | "pallas_v1"
-    # (XLA warp sweep + fused metadata/MLP kernel)
-    cost_volume_backend: str = "xla"
+    # "xla_fused" (metadata+MLP fused into the banded warp scan;
+    # fastest measured for both inference and training — default) |
+    # "xla" (banded warp, chunked metadata assembly) | "pallas" (fully
+    # fused warp+metadata+MLP kernel) | "pallas_v1" (XLA warp sweep +
+    # fused metadata/MLP kernel)
+    cost_volume_backend: str = "xla_fused"
 
     # --------------------------- visualization ----------------------------
     standard_fps: int = 30
