@@ -104,6 +104,9 @@ class Options:
     cache_depths: bool = False
     fusion_use_raw_lowest_cost: bool = False
     high_res_validation: bool = False
+    # shard eval batches over all local devices (data axis, replicated
+    # params) — multi-chip serving; partial batches are padded
+    data_parallel_eval: bool = False
     # the reference's --fast_cost_volume (/root/reference/test.py:196-198)
     # swaps in a faster inference cost volume. Here the default XLA
     # banded-matmul sweep IS the fastest measured path, so this flag is

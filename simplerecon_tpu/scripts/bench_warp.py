@@ -6,7 +6,9 @@ program, two chain lengths differenced). Hero shapes by default:
 
     python -m simplerecon_tpu.scripts.bench_warp [batch] [cfg ...]
 
-cfg strings: "gather", or "tile_h,tile_w,band" e.g. "32,32,48".
+cfg strings: "gather", or "tile_h,tile_w,band" e.g. "32,32,48" (warp
+only), or "mlp:tile_h,tile_w,band" (full fused sweep_mlp_volume with a
+202-ch MLP — the xla_fused hot loop).
 """
 
 from __future__ import annotations
@@ -65,11 +67,33 @@ def main():
     ex = jnp.asarray(ex)
     planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
 
+    # fused-path extras: reference cur features, pose metadata, MLP
+    cur_feats = jnp.asarray(rng.randn(b, h * w, c), jnp.bfloat16)
+    penalty = jnp.asarray(rng.rand(b, k, 3).astype(np.float32))
+    loc = jnp.asarray(ex)[:, :, :3, 3]
+    cin = c * (1 + k) + (1 + k) + 3 * (1 + k) + 3 * k + k + k + k
+    mlp = (((jnp.asarray(rng.randn(cin, 128) * 0.05, jnp.float32)),
+            jnp.zeros((128,), jnp.float32)),
+           ((jnp.asarray(rng.randn(128, 128) * 0.05, jnp.float32)),
+            jnp.zeros((128,), jnp.float32)),
+           ((jnp.asarray(rng.randn(128, 1) * 0.05, jnp.float32)),
+            jnp.zeros((1,), jnp.float32)))
+
     for cfg in cfgs:
         if cfg == "gather":
             fn = lambda s: cv_ops.sweep_warp(  # noqa: E731
                 s, ex, src_K, invK, planes, backend="gather")
             label = "gather"
+        elif cfg.startswith("mlp:"):
+            th, tw, band = (int(v) for v in cfg[4:].split(","))
+
+            def fn(s, th=th, tw=tw, band=band):
+                vol = cv_ops.sweep_mlp_volume(
+                    s, cur_feats, ex, src_K, invK, planes, penalty, loc,
+                    mlp, compute_dtype=jnp.bfloat16,
+                    tile_h=th, tile_w=tw, x_band=band)
+                return vol
+            label = f"mlp tile=({th},{tw}) band={band}"
         else:
             th, tw, band = (int(v) for v in cfg.split(","))
             fn = lambda s, th=th, tw=tw, band=band: \
@@ -82,8 +106,10 @@ def main():
                 def body(i, token):
                     si = s + (token + i.astype(jnp.float32) * 0.01
                               ).astype(s.dtype)
-                    warp = fn(si)
-                    return jnp.sum(warp.sampled_bkdNc.astype(jnp.float32)
+                    out = fn(si)
+                    arr = (out.sampled_bkdNc
+                           if hasattr(out, "sampled_bkdNc") else out)
+                    return jnp.sum(arr.astype(jnp.float32)
                                    ) * jnp.float32(1e-9)
                 return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
             return chain

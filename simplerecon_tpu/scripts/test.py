@@ -35,18 +35,47 @@ from simplerecon_tpu.utils.metrics import (ResultsAverager,
                                            compute_depth_metrics_batched)
 
 
-def make_forward_fn(model, variables):
-    """Jitted inference forward; returns all depth scales + masks."""
+_FORWARD_KEYS = ("depth_pred_s0_bhw1", "lowest_cost_bhw",
+                 "overall_mask_bhw")
+
+
+def make_forward_fn(model, variables, data_parallel: bool = False):
+    """Jitted inference forward; returns all depth scales + masks.
+
+    With `data_parallel=True` and >1 device, the batch is sharded over
+    the `data` mesh axis (replicated params — the serving analogue of
+    the reference's multi-GPU eval, which it lacked). Partial batches
+    are padded to a device multiple by repeating the last element and
+    sliced back after the call.
+    """
+    if data_parallel and jax.device_count() > 1:
+        from simplerecon_tpu.parallel import make_mesh
+        from simplerecon_tpu.parallel.train import make_sharded_forward
+
+        n_dev = jax.device_count()
+        sharded = make_sharded_forward(model, variables, make_mesh())
+
+        def forward(cur_data, src_data):
+            b = cur_data["image_b3hw"].shape[0]
+            pad = (-b) % n_dev
+
+            def pad_leaf(a):
+                if not pad:
+                    return a
+                tail = jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])
+                return jnp.concatenate([a, tail], axis=0)
+
+            out = sharded(jax.tree_util.tree_map(pad_leaf, cur_data),
+                          jax.tree_util.tree_map(pad_leaf, src_data))
+            return {k: out[k][:b] for k in _FORWARD_KEYS}
+
+        return forward
 
     @jax.jit
     def forward(cur_data, src_data):
         outputs = model.apply(variables, cur_data, src_data, flip=False,
                               train=False, return_mask=True)
-        return {
-            "depth_pred_s0_bhw1": outputs["depth_pred_s0_bhw1"],
-            "lowest_cost_bhw": outputs["lowest_cost_bhw"],
-            "overall_mask_bhw": outputs["overall_mask_bhw"],
-        }
+        return {k: outputs[k] for k in _FORWARD_KEYS}
 
     return forward
 
@@ -87,7 +116,9 @@ def main(opts: Options):
 
     model = build_depth_model(opts)
     variables = _load_or_init_variables(model, opts)
-    forward = make_forward_fn(model, variables)
+    forward = make_forward_fn(
+        model, variables,
+        data_parallel=getattr(opts, "data_parallel_eval", False))
 
     all_frame_avg = ResultsAverager(opts.name, "frame metrics")
     all_scene_avg = ResultsAverager(opts.name, "scene metrics")
