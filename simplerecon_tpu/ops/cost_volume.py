@@ -109,19 +109,18 @@ def _twohot(coord, size: int, dtype):
     coord: (..., r) sample positions in index space. Returns
     (..., r, size) with exactly the bilinear tap weights of
     grid_sample's zeros-padding semantics.
+
+    The tent identity `relu(1 - |coord - j|)` equals the bilinear tap
+    weight at every integer column j — including the half-open edges
+    (coord in (-1, 0) puts weight 1+coord on column 0) — and costs 4
+    elementwise passes instead of the ~14 of the floor/compare/clip
+    formulation (this construction runs on the VPU inside the sweep's
+    hot loop).
     """
-    c0 = jnp.floor(coord)
-    w1 = (coord - c0)
-    w0 = 1.0 - w1
-    i0 = c0.astype(jnp.int32)
-    i1 = i0 + 1
-    v0 = (i0 >= 0) & (i0 < size)
-    v1 = (i1 >= 0) & (i1 < size)
-    iota = jax.lax.broadcasted_iota(jnp.int32, coord.shape + (size,),
+    iota = jax.lax.broadcasted_iota(jnp.float32, coord.shape + (size,),
                                     coord.ndim)
-    hit0 = (iota == jnp.clip(i0, 0, size - 1)[..., None]) & v0[..., None]
-    hit1 = (iota == jnp.clip(i1, 0, size - 1)[..., None]) & v1[..., None]
-    return (hit0 * w0[..., None] + hit1 * w1[..., None]).astype(dtype)
+    w = 1.0 - jnp.abs(coord[..., None] - iota)
+    return jnp.maximum(w, 0.0).astype(dtype)
 
 
 def _largest_divisor_leq(n: int, target: int) -> int:
@@ -138,7 +137,8 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
                       depth_planes_bd: jnp.ndarray,
                       tile_h: Optional[int] = None,
                       tile_w: Optional[int] = None,
-                      x_band: Optional[int] = None) -> SweepWarp:
+                      x_band: Optional[int] = None,
+                      unroll: int = 1) -> SweepWarp:
     """`sweep_warp` with the bilinear gather recast as MXU matmuls.
 
     TPU gathers are row-latency-bound: the 4-tap grid_sample warp of the
@@ -255,7 +255,7 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
 
             xs = (x_kST.transpose(1, 0, 2), y_kST.transpose(1, 0, 2),
                   off_kS.transpose(1, 0))
-            _, outs = jax.lax.scan(step, None, xs)
+            _, outs = jax.lax.scan(step, None, xs, unroll=unroll)
             return outs                          # (d*S, k, T, c)
 
         def tiered(i: int):
@@ -293,7 +293,8 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
                      compute_dtype=jnp.bfloat16,
                      tile_h: Optional[int] = None,
                      tile_w: Optional[int] = None,
-                     x_band: Optional[int] = None) -> jnp.ndarray:
+                     x_band: Optional[int] = None,
+                     unroll: int = 1) -> jnp.ndarray:
     """Banded MXU warp with the metadata MLP fused into the sweep.
 
     Same tiered column-banded two-hot warp as `sweep_warp_matmul`, but
@@ -374,6 +375,15 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
          penalty_k3, loc_k3, offs_1, fits_1) = args
         img_khX = img_khwc.reshape(k, h, w * c)
 
+        # the last 3k metadata channels (penalty, R, t) are per-frame
+        # constants: their first-layer contribution is a fixed (128,)
+        # bias — computed once here instead of broadcast+matmul'd in
+        # every scan step. w0 row order: [..., penalty(k), R(k), t(k)].
+        pose_flat = penalty_k3.T.reshape(3 * k)            # (3k,)
+        w0_var = w0[:-3 * k]
+        pose_bias = jnp.dot(pose_flat.astype(w0.dtype), w0[-3 * k:],
+                            preferred_element_type=jnp.float32)
+
         def run(cur_band: int, off_kS):
             @jax.checkpoint
             def step(_, xs):
@@ -413,14 +423,11 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
                      jnp.full((T, 1), plane, f32),
                      dots.T, angle.T,
                      cur_ray,
-                     src_rays.transpose(1, 0, 2).reshape(T, k * 3),
-                     jnp.broadcast_to(penalty_k3[:, 0][None], (T, k)),
-                     jnp.broadcast_to(penalty_k3[:, 1][None], (T, k)),
-                     jnp.broadcast_to(penalty_k3[:, 2][None], (T, k))],
-                    axis=-1).astype(dtype)                     # (T, C_in)
+                     src_rays.transpose(1, 0, 2).reshape(T, k * 3)],
+                    axis=-1).astype(dtype)             # (T, C_in - 3k)
 
-                h0 = jnp.dot(feats, w0,
-                             preferred_element_type=f32) + b0
+                h0 = jnp.dot(feats, w0_var,
+                             preferred_element_type=f32) + pose_bias + b0
                 h0 = jax.nn.leaky_relu(h0, 0.01).astype(dtype)
                 h1 = jnp.dot(h0, w1,
                              preferred_element_type=f32) + b1
@@ -432,7 +439,7 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
             xs = (x_kST.transpose(1, 0, 2), y_kST.transpose(1, 0, 2),
                   z_kST.transpose(1, 0, 2), off_kS.transpose(1, 0),
                   rays_ST3, cur_STc, plane_S)
-            _, outs = jax.lax.scan(step, None, xs)
+            _, outs = jax.lax.scan(step, None, xs, unroll=unroll)
             return outs                                        # (d*S, T)
 
         def tiered(i: int):

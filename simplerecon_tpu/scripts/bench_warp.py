@@ -85,15 +85,17 @@ def main():
                 s, ex, src_K, invK, planes, backend="gather")
             label = "gather"
         elif cfg.startswith("mlp:"):
-            th, tw, band = (int(v) for v in cfg[4:].split(","))
+            parts = [int(v) for v in cfg[4:].split(",")]
+            th, tw, band = parts[:3]
+            unroll = parts[3] if len(parts) > 3 else 1
 
-            def fn(s, th=th, tw=tw, band=band):
+            def fn(s, th=th, tw=tw, band=band, unroll=unroll):
                 vol = cv_ops.sweep_mlp_volume(
                     s, cur_feats, ex, src_K, invK, planes, penalty, loc,
                     mlp, compute_dtype=jnp.bfloat16,
-                    tile_h=th, tile_w=tw, x_band=band)
+                    tile_h=th, tile_w=tw, x_band=band, unroll=unroll)
                 return vol
-            label = f"mlp tile=({th},{tw}) band={band}"
+            label = f"mlp tile=({th},{tw}) band={band} u{unroll}"
         else:
             th, tw, band = (int(v) for v in cfg.split(","))
             fn = lambda s, th=th, tw=tw, band=band: \
