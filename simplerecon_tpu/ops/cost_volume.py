@@ -294,7 +294,7 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
                      tile_h: Optional[int] = None,
                      tile_w: Optional[int] = None,
                      x_band: Optional[int] = None,
-                     unroll: int = 1) -> jnp.ndarray:
+                     unroll: int = 2) -> jnp.ndarray:
     """Banded MXU warp with the metadata MLP fused into the sweep.
 
     Same tiered column-banded two-hot warp as `sweep_warp_matmul`, but
