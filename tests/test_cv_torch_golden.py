@@ -172,6 +172,41 @@ def test_feature_volume_matches_torch_reference_replica():
                                    err_msg=backend)
 
 
+def test_feature_volume_backend_gradient_parity():
+    """xla and xla_fused must produce identical gradients (params AND
+    inputs) — the fused path's scan/cond/map/checkpoint structure is an
+    implementation detail, not a different function."""
+    rng = np.random.RandomState(11)
+    cur = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    src = jnp.asarray(rng.randn(B, K, H, W, C).astype(np.float32))
+    extr, poses, Ks, invK = map(jnp.asarray, _geometry())
+
+    grads = {}
+    with jax.default_matmul_precision("highest"):
+        for backend in ("xla", "xla_fused"):
+            mod = MLPFeatureVolume(num_depth_bins=D, min_depth=MIN_D,
+                                   max_depth=MAX_D, matching_dim_size=C,
+                                   num_source_views=K, mlp_hidden=(16, 16),
+                                   backend=backend, dtype=jnp.float32)
+            variables = mod.init(jax.random.PRNGKey(0), cur, src, extr,
+                                 poses, Ks, invK)
+
+            def loss(params, cur, src, mod=mod):
+                v, _, _, _ = mod.apply({"params": params}, cur, src,
+                                       extr, poses, Ks, invK)
+                return jnp.mean(v ** 2)
+
+            grads[backend] = jax.grad(loss, argnums=(0, 1, 2))(
+                variables["params"], cur, src)
+
+    flat_a = jax.tree_util.tree_leaves(grads["xla"])
+    flat_b = jax.tree_util.tree_leaves(grads["xla_fused"])
+    assert len(flat_a) == len(flat_b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-3, atol=1e-6)
+
+
 def test_feature_volume_pallas_kernels_match_torch_replica():
     """The fused Pallas kernels (interpret mode) must ALSO match the
     torch replica — covering the in-kernel projection/metadata path."""
