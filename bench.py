@@ -125,6 +125,7 @@ def build(backend: str, batch: int):
     opts = Options()  # hero defaults: 512x384, 64 planes, 8 views
     opts.precision = "16"  # bf16 compute
     opts.cost_volume_backend = backend
+    opts.cost_volume_band_axis = os.environ.get("BENCH_BAND_AXIS", "x")
     if os.environ.get("BENCH_MODEL") == "dot_product":
         opts.feature_volume_type = "simple_cost_volume"
     model = build_depth_model(opts)
@@ -217,6 +218,7 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
     opts.precision = "16"
     opts.cost_volume_backend = os.environ.get("BENCH_BACKEND",
                                               "xla_fused")
+    opts.cost_volume_band_axis = os.environ.get("BENCH_BAND_AXIS", "x")
     model = build_depth_model(opts)
     # remat ablation knobs: BENCH_REMAT=0 keeps submodule activations,
     # BENCH_REMAT_CV=0 keeps cost-volume chunk activations
@@ -225,6 +227,10 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
         clones["remat_submodules"] = False
     if os.environ.get("BENCH_REMAT_CV") == "0":
         clones["remat_cost_volume"] = False
+    # BENCH_CVJP=0: fall back to checkpointed-autodiff for the fused
+    # sweep's backward (A/B for the hand-written VJP)
+    if os.environ.get("BENCH_CVJP") == "0":
+        clones["cost_volume_custom_vjp"] = False
     if clones:
         model = model.clone(**clones)
     optimizer = make_optimizer(opts)

@@ -53,6 +53,45 @@ def to_train_schema(batch: Dict[str, Dict]) -> Dict[str, Dict]:
     return {"cur": cur, "src": src}
 
 
+def device_prefetch(batches, size: int = 2, sharding=None):
+    """Host->device double buffering.
+
+    Keeps up to `size` batches already transferred to the device (or
+    laid out on a mesh when `sharding` is given) ahead of the consumer,
+    so the H2D copy of batch n+1 overlaps the model running batch n —
+    the TPU-side equivalent of the reference's pinned-memory
+    `non_blocking=True` DataLoader transfers (`train.py:65-94`).
+    Non-array leaves (frame-id strings) pass through untouched.
+    """
+    import collections
+
+    import jax
+
+    def put(batch):
+        def leaf(x):
+            if isinstance(x, np.ndarray):
+                if sharding is not None:
+                    return jax.device_put(x, sharding)
+                return jax.device_put(x)
+            return x
+        return jax.tree_util.tree_map(leaf, batch)
+
+    it = iter(batches)
+    buf = collections.deque()
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class DataLoader:
     """Iterates batches over a dataset with threaded decode + prefetch.
 

@@ -18,6 +18,41 @@ import numpy as np
 from simplerecon_tpu.fusion.tsdf import TSDF, TSDFFuser
 
 
+def bounds_from_trajectory(world_T_cam_n44,
+                           max_fusion_depth: float,
+                           invK_44: Optional[np.ndarray] = None,
+                           image_hw: Optional[Tuple[int, int]] = None,
+                           pad: float = 0.5) -> np.ndarray:
+    """Scene bounds (3, 2) from the camera trajectory.
+
+    Everything a fuser can integrate lies inside some camera's frustum
+    truncated at `max_fusion_depth`, so the union of those frustums
+    (plus `pad` meters) bounds the scene — replacing the reference's
+    +-10 m fallback box (`tools/tsdf.py:96-100`, a 500^3 allocation at
+    4 cm) for GT-mesh-less scans such as ARKit walkthroughs.
+
+    With intrinsics, the frustum is exact: the four image-corner rays at
+    the truncation depth plus the camera center. Without, a conservative
+    per-camera box of half-width 2 * max_fusion_depth is used (covers
+    any FOV up to ~120 degrees diagonal).
+    """
+    poses = np.asarray(world_T_cam_n44, np.float64).reshape(-1, 4, 4)
+    centers = poses[:, :3, 3]                               # (n, 3)
+    if invK_44 is not None and image_hw is not None:
+        h, w = image_hw
+        corners = np.array([[0.0, 0.0, 1.0], [w, 0.0, 1.0],
+                            [0.0, h, 1.0], [w, h, 1.0]]).T  # (3, 4)
+        rays = np.asarray(invK_44, np.float64)[:3, :3] @ corners
+        far = np.einsum("nij,jc->nci", poses[:, :3, :3],
+                        rays * max_fusion_depth) + centers[:, None]
+        pts = np.concatenate([centers, far.reshape(-1, 3)], axis=0)
+        lo, hi = pts.min(0), pts.max(0)
+    else:
+        r = 2.0 * max_fusion_depth
+        lo, hi = centers.min(0) - r, centers.max(0) + r
+    return np.stack([lo - pad, hi + pad], axis=1).astype(np.float32)
+
+
 class DepthFuser:
     """Common fuser API (`tools/fusers_helper.py:11-57`)."""
 
@@ -46,7 +81,8 @@ class OurFuser(DepthFuser):
                  fusion_resolution: float = 0.04,
                  max_fusion_depth: float = 3.0,
                  fuse_color: bool = False,
-                 bounds_3x2: Optional[np.ndarray] = None):
+                 bounds_3x2: Optional[np.ndarray] = None,
+                 trajectory_world_T_cam: Optional[np.ndarray] = None):
         super().__init__(gt_path, fusion_resolution, max_fusion_depth,
                          fuse_color)
         if bounds_3x2 is None and gt_path:
@@ -57,6 +93,11 @@ class OurFuser(DepthFuser):
         elif bounds_3x2 is not None:
             tsdf = TSDF.from_bounds(bounds_3x2, fusion_resolution,
                                     with_color=fuse_color)
+        elif trajectory_world_T_cam is not None:
+            tsdf = TSDF.from_bounds(
+                bounds_from_trajectory(trajectory_world_T_cam,
+                                       max_fusion_depth),
+                fusion_resolution, with_color=fuse_color)
         else:
             # the reference's fallback +-10 m box (`tools/tsdf.py:96-100`)
             tsdf = TSDF.from_bounds(np.array([[-10.0, 10.0]] * 3),
@@ -109,9 +150,14 @@ class OurFuser(DepthFuser):
 
 
 def get_fuser(opts, scan_gt_path: str = "",
-              bounds_3x2: Optional[np.ndarray] = None) -> DepthFuser:
+              bounds_3x2: Optional[np.ndarray] = None,
+              trajectory_world_T_cam: Optional[np.ndarray] = None
+              ) -> DepthFuser:
     """Mirrors `get_fuser` (`tools/fusers_helper.py:188-216`); the
-    `open3d` depth_fuser name maps onto the same JAX TSDF with color."""
+    `open3d` depth_fuser name maps onto the same JAX TSDF with color.
+    For scans with neither a GT mesh nor explicit bounds, pass the
+    scan's `trajectory_world_T_cam` (n, 4, 4) so the grid is sized from
+    the camera path instead of the +-10 m fallback box."""
     if opts.depth_fuser in ("ours", "open3d"):
         return OurFuser(
             gt_path=scan_gt_path,
@@ -120,5 +166,6 @@ def get_fuser(opts, scan_gt_path: str = "",
             # the reference only fuses color via Open3D; our TSDF fuses
             # RGB natively, so `fuse_color` works for either fuser name
             fuse_color=opts.fuse_color,
-            bounds_3x2=bounds_3x2)
+            bounds_3x2=bounds_3x2,
+            trajectory_world_T_cam=trajectory_world_T_cam)
     raise ValueError(f"unknown depth fuser {opts.depth_fuser!r}")

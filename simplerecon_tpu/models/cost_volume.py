@@ -160,10 +160,20 @@ class MLPFeatureVolume(nn.Module):
     remat: bool = True
     # "xla" (chunked+remat assembly) | "xla_fused" (metadata+MLP fused
     # into the banded warp scan — no warp/metadata stack in HBM) |
-    # "pallas" (fused warp kernel) | "pallas_v1" (two-step XLA warp +
+    # "pallas" (y-banded fused kernel) | "pallas_full" (round-2
+    # full-width fused kernel) | "pallas_v1" (two-step XLA warp +
     # metadata/MLP kernel); *_interpret variants run the kernel in the
     # Pallas interpreter (CPU tests)
     backend: str = "xla"
+    # banded-axis choice for the matmul sweep (see
+    # `ops/cost_volume.py::_band_axis_config`)
+    band_axis: str = "x"
+    # hand-written VJP for the fused sweep (xla_fused only): backward
+    # recomputes each scan step once and propagates cotangents only to
+    # features + MLP weights — geometry is data (poses are never
+    # trained, as in the reference). See `ops/cost_volume.py::
+    # _cvjp_builder`.
+    custom_vjp: bool = True
     pallas_tile: int = 1024
     # 1-D f32 outputs need 1024-element tiles (Mosaic/XLA layout)
     pallas_warp_tile: int = 1024
@@ -207,7 +217,8 @@ class MLPFeatureVolume(nn.Module):
                 ((p["dense0"]["kernel"], p["dense0"]["bias"]),
                  (p["dense1"]["kernel"], p["dense1"]["bias"]),
                  (p["dense2"]["kernel"], p["dense2"]["bias"])),
-                compute_dtype=self.dtype)
+                compute_dtype=self.dtype, band_axis=self.band_axis,
+                custom_vjp=self.custom_vjp)
         elif self.backend.startswith("pallas") and not self.is_initializing():
             volume_bdN = self._pallas_volume(
                 planes_bd, cur_bNc, src_feats_bkhwc, src_extrinsics_bk44,
@@ -248,11 +259,13 @@ class MLPFeatureVolume(nn.Module):
                        src_cam_loc_bk3, pose_penalty_bk3):
         """Fused-kernel path.
 
-        Default ("pallas"): the fully fused warp+metadata+MLP kernel —
-        projection, two-hot MXU bilinear sampling, metadata assembly and
-        the MLP all inside one Pallas program; the warp stack never
-        exists in HBM. "pallas_v1" keeps the older two-step variant
-        (XLA warp sweep, then the metadata+MLP kernel)."""
+        Default ("pallas"): the y-banded fused warp+metadata+MLP kernel
+        (`pallas_cv.banded_warp_feature_volume`) — narrow source bands
+        sliced from VMEM-resident feature maps, two-hot MXU taps,
+        metadata + MLP all channel-major in one Pallas program; no warp
+        stack, no scan overhead. "pallas_full" keeps the round-2
+        full-width fused kernel; "pallas_v1" the two-step variant (XLA
+        warp sweep, then the metadata+MLP kernel)."""
         from simplerecon_tpu.ops import pallas_cv
 
         b, k = src_feats_bkhwc.shape[:2]
@@ -261,6 +274,21 @@ class MLPFeatureVolume(nn.Module):
         n = cur_bNc.shape[1]
 
         if self.backend in ("pallas", "pallas_interpret"):
+            p = self.mlp.variables["params"]
+            vol = pallas_cv.banded_warp_feature_volume(
+                src_feats_bkhwc.astype(self.dtype), cur_bNc,
+                src_extrinsics_bk44, src_Ks_bk44, cur_invK_b44,
+                planes_bd, pose_penalty_bk3, src_cam_loc_bk3,
+                p["dense0"]["kernel"].astype(self.dtype),
+                p["dense0"]["bias"],
+                p["dense1"]["kernel"].astype(self.dtype),
+                p["dense1"]["bias"],
+                p["dense2"]["kernel"].astype(self.dtype),
+                p["dense2"]["bias"],
+                interpret=self.backend == "pallas_interpret")
+            return vol.reshape(b, d, n)
+
+        if self.backend in ("pallas_full", "pallas_full_interpret"):
             h_img, w_img = src_feats_bkhwc.shape[2:4]
             dtype = self.dtype
             # (b, k, h, c*w): c-major rows for the in-kernel lane-group
@@ -284,7 +312,7 @@ class MLPFeatureVolume(nn.Module):
                 p["dense1"]["kernel"].astype(dtype), p["dense1"]["bias"],
                 p["dense2"]["kernel"].astype(dtype), p["dense2"]["bias"],
                 tile=tile,
-                interpret=self.backend == "pallas_interpret")
+                interpret=self.backend == "pallas_full_interpret")
             return vol.reshape(b, d, n)
 
         # chunk planes so the materialized warp stack stays under ~1 GB

@@ -69,6 +69,9 @@ class DepthModel(nn.Module):
     # warp+metadata+MLP kernel) | "pallas_v1" (XLA warp + metadata/MLP
     # kernel)
     cost_volume_backend: str = "xla"
+    cost_volume_band_axis: str = "x"
+    # custom VJP for the fused sweep (see MLPFeatureVolume.custom_vjp)
+    cost_volume_custom_vjp: bool = True
     # rematerialize the big submodules in the backward pass; costs ~1/3
     # extra forward FLOPs during training, cuts activation memory several
     # GB at batch 16 (inference is unaffected — no backward)
@@ -105,6 +108,8 @@ class DepthModel(nn.Module):
                 num_source_views=self.model_num_views - 1,
                 plane_chunk=self.plane_chunk, remat=self.remat_cost_volume,
                 backend=self.cost_volume_backend,
+                band_axis=self.cost_volume_band_axis,
+                custom_vjp=self.cost_volume_custom_vjp,
                 dtype=self.dtype, name="cost_volume")
         else:
             raise ValueError(self.feature_volume_type)
@@ -229,4 +234,7 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         feature_volume_type=opts.feature_volume_type,
         matching_encoder_type=opts.matching_encoder_type,
         cost_volume_backend=getattr(opts, "cost_volume_backend", "xla"),
+        cost_volume_band_axis=getattr(opts, "cost_volume_band_axis", "x"),
+        cost_volume_custom_vjp=getattr(opts, "cost_volume_custom_vjp",
+                                       True),
         dtype=dtype)

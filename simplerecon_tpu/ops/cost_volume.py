@@ -14,6 +14,7 @@ N = h*w reference pixels, c feature channels.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -130,6 +131,92 @@ def _largest_divisor_leq(n: int, target: int) -> int:
     return t
 
 
+def _band_plan(vc_bkdST, size: int, bands):
+    """Tiered banding along one image axis.
+
+    vc_bkdST: (b, k, d*S, T) sample coords along the banded axis, in
+    index space. For each (view, plane, tile) the columns/rows actually
+    needed are clip(floor(v), 0, size-1) .. clip(floor(v)+1, 0, size-1);
+    samples with no in-range tap are excluded. A band of `v` entries at
+    offset clip(lo, 0, size-v) covers the span iff the span is narrow
+    enough OR sits in the last window. Returns (offs, fits, zero_off):
+    per-tier offsets (b, k, d*S) int32 and per-batch-element fit flags.
+    """
+    b = vc_bkdST.shape[0]
+    v0 = jnp.floor(vc_bkdST)
+    has_tap = (vc_bkdST > -1.0) & (vc_bkdST < size)
+    lo = jnp.min(jnp.where(has_tap, jnp.clip(v0, 0, size - 1), size - 1),
+                 axis=-1)                        # (b, k, d*S)
+    hi = jnp.max(jnp.where(has_tap, jnp.clip(v0 + 1, 0, size - 1), 0),
+                 axis=-1)
+    offs = [jnp.clip(lo, 0, size - v).astype(jnp.int32) for v in bands]
+    fits = [jnp.all(((hi - lo <= v - 1) | (lo >= size - v))
+                    .reshape(b, -1), axis=-1) for v in bands]
+    return offs, fits, jnp.zeros_like(lo, dtype=jnp.int32)
+
+
+def _tap_core(img_fX, u_t, v_t, off_v, cur_band: int, contract_size: int,
+              c: int, dtype):
+    """Exact bilinear sampling of one view's tile as two two-hot
+    contractions: a (T, F) x (F, band*c) MXU matmul interpolates along
+    the contract axis over its FULL size F (tent weights = exact
+    zeros-padding bilinear taps, see `_twohot`), then a per-sample
+    weighted reduce over the 2 banded-axis taps.
+
+    img_fX: (F, A*c) source features, contract-axis-major, where A is
+    the banded axis size; the band slice is contiguous in the last dim.
+    u_t: (T,) contract-axis coords; v_t: (T,) banded-axis coords;
+    off_v: scalar band offset for this (view, step).
+    """
+    sl = jax.lax.dynamic_slice(
+        img_fX, (0, off_v * c), (contract_size, cur_band * c))
+    ohu = _twohot(u_t, contract_size, dtype)       # (T, F)
+    rows = jnp.einsum("tf,fX->tX", ohu, sl,
+                      preferred_element_type=jnp.float32)
+    rows = rows.reshape(u_t.shape[0], cur_band, c)
+    vo = v_t - off_v.astype(jnp.float32)
+    ohv = _twohot(vo, cur_band, jnp.float32)       # (T, band)
+    return jnp.einsum("tv,tvc->tc", ohv, rows)     # (T, c) f32
+
+
+def _band_axis_config(h: int, w: int, band_axis: str,
+                      tile_h: Optional[int], tile_w: Optional[int],
+                      band: Optional[int]):
+    """Resolve (tile_h, tile_w, bands) defaults for a banding axis.
+
+    band_axis="x" (default): full-height column stripes, contract over
+    the image height on the MXU, band the x taps (40/64 tiers) — the
+    fastest measured XLA-scan configuration (11.3 ms warp on hero
+    shapes).
+
+    band_axis="y": full-width row stripes, contract over the width,
+    band the y taps (16/32 tiers). On paper the y band is narrower
+    (N = band*c shrinks ~2.5x; MXU passes cost M*N regardless of the
+    contraction size, so K-utilization is irrelevant), but measured on
+    hero shapes it LOSES in the scan formulation (14.8-25.8 ms):
+    epipolar tilt from yaw makes y vary across a full-width stripe
+    (span ~ tile_h + tilt*w), so the narrow tiers miss and fall back,
+    and the 3x higher step count pays ~5-7 us scan overhead per step.
+    Kept as an exact alternative; the Pallas banded kernel uses the "y"
+    geometry with narrow tiles where per-step overhead is ~zero.
+    """
+    if band_axis == "y":
+        th = _largest_divisor_leq(h, 8 if tile_h is None else tile_h)
+        tw = _largest_divisor_leq(w, w if tile_w is None else tile_w)
+        if band is None:
+            bands = [v for v in (16, 32) if v < h]
+        else:
+            bands = [band] if band < h else []
+        return th, tw, bands
+    th = _largest_divisor_leq(h, h if tile_h is None else tile_h)
+    tw = _largest_divisor_leq(w, 32 if tile_w is None else tile_w)
+    if band is None:
+        bands = [v for v in (40, 64) if v < w]
+    else:
+        bands = [band] if band < w else []
+    return th, tw, bands
+
+
 def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
                       src_extrinsics_bk44: jnp.ndarray,
                       src_Ks_bk44: jnp.ndarray,
@@ -138,7 +225,8 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
                       tile_h: Optional[int] = None,
                       tile_w: Optional[int] = None,
                       x_band: Optional[int] = None,
-                      unroll: int = 1) -> SweepWarp:
+                      unroll: int = 1,
+                      band_axis: str = "x") -> SweepWarp:
     """`sweep_warp` with the bilinear gather recast as MXU matmuls.
 
     TPU gathers are row-latency-bound: the 4-tap grid_sample warp of the
@@ -165,9 +253,12 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
 
     Batch elements are processed under `lax.map`, so per-frame time is
     batch-size-invariant by construction (one batch's (T, band*c)
-    intermediates stay small enough for XLA to keep the y-matmul ->
-    x-reduce chain fused; batched variants measured 4x slower at b8),
+    intermediates stay small enough for XLA to keep the matmul ->
+    tap-reduce chain fused; batched variants measured 4x slower at b8),
     and one pathological frame only degrades itself.
+
+    `band_axis` picks which image axis is banded ("y" default — see
+    `_band_axis_config`); `x_band` is the band width along that axis.
     """
     b, k, h, w, c = src_feats_bkhwc.shape
     d = depth_planes_bd.shape[1]
@@ -175,15 +266,12 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
     dtype = src_feats_bkhwc.dtype
     f32 = jnp.float32
 
-    # best measured config: full-height column stripes, 32 ref columns
-    th = _largest_divisor_leq(h, h if tile_h is None else tile_h)
-    tw = _largest_divisor_leq(w, 32 if tile_w is None else tile_w)
-    if x_band is None:
-        bands = [v for v in (40, 64) if v < w]
-    else:
-        bands = [x_band] if x_band < w else []
+    th, tw, bands = _band_axis_config(h, w, band_axis, tile_h, tile_w,
+                                      x_band)
     T = th * tw                      # samples per tile
     S = (h // th) * (w // tw)        # tiles per plane
+    contract_size = w if band_axis == "y" else h
+    band_size = h if band_axis == "y" else w
 
     grid_N3 = geo.pixel_grid(h, w)
     rays_bN3 = jnp.einsum("nj,bij->bni", grid_N3,
@@ -206,27 +294,20 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
     # index-space sample coords (half-pixel convention: centers at i+0.5)
     x = tiled(pix_bkdN2[..., 0] - 0.5)          # (b, k, d*S, T)
     y = tiled(pix_bkdN2[..., 1] - 0.5)
+    u, v = (x, y) if band_axis == "y" else (y, x)  # contract, banded
 
-    # per-(view, plane, tile) column span: columns actually needed are
-    # clip(floor(x), 0, w-1) .. clip(floor(x)+1, 0, w-1); samples with no
-    # in-range tap contribute nothing and are excluded from the span
-    x0 = jnp.floor(x)
-    has_tap = (x > -1.0) & (x < w)
-    lo = jnp.min(jnp.where(has_tap, jnp.clip(x0, 0, w - 1), w - 1),
-                 axis=-1)                        # (b, k, d*S)
-    hi = jnp.max(jnp.where(has_tap, jnp.clip(x0 + 1, 0, w - 1), 0),
-                 axis=-1)
-    # a band of `v` columns at offset clip(lo, 0, w-v) covers the span
-    # iff the span is narrow enough OR sits in the last window
-    offs = [jnp.clip(lo, 0, w - v).astype(jnp.int32) for v in bands]
-    fits = [jnp.all(((hi - lo <= v - 1) | (lo >= w - v))
-                    .reshape(b, -1), axis=-1) for v in bands]
-    zero_off = jnp.zeros_like(lo, dtype=jnp.int32)
+    offs, fits, zero_off = _band_plan(v, band_size, bands)
+
+    # contract-axis-major image layout: the band slice is contiguous
+    if band_axis == "y":
+        img_bkfX = src_feats_bkhwc.transpose(0, 1, 3, 2, 4).reshape(
+            b, k, w, h * c)
+    else:
+        img_bkfX = src_feats_bkhwc.reshape(b, k, h, w * c)
 
     def sweep_one(args):
         """One batch element; scan over the d*S tile axis per tier."""
-        img_khwc, x_kST, y_kST, offs_1, fits_1 = args
-        img_khX = img_khwc.reshape(k, h, w * c)
+        img_kfX, u_kST, v_kST, offs_1, fits_1 = args
 
         def run(cur_band: int, off_kS):
             # remat each scan step: without this, the scan's backward
@@ -235,32 +316,24 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
             # them per step costs ~2x warp FLOPs in backward only.
             @jax.checkpoint
             def step(_, xs):
-                x_t, y_t, off_t = xs             # (k, T), (k, T), (k,)
-                col = off_t * c
+                u_t, v_t, off_t = xs             # (k, T), (k, T), (k,)
 
-                def one_view(img_hX, x_v, y_v, col_v):
-                    sl = jax.lax.dynamic_slice(
-                        img_hX, (0, col_v), (h, cur_band * c))
-                    ohy = _twohot(y_v, h, dtype)           # (T, h)
-                    rows = jnp.einsum("th,hX->tX", ohy, sl,
-                                      preferred_element_type=f32)
-                    rows = rows.reshape(T, cur_band, c)
-                    xo = x_v - (col_v // c).astype(f32)
-                    ohx = _twohot(xo, cur_band, f32)       # (T, band)
-                    return jnp.einsum("tx,txc->tc", ohx,
-                                      rows).astype(dtype)
+                def one_view(img_fX, u_v, v_v, off_v):
+                    return _tap_core(img_fX, u_v, v_v, off_v, cur_band,
+                                     contract_size, c, dtype
+                                     ).astype(dtype)
 
-                out = jax.vmap(one_view)(img_khX, x_t, y_t, col)
+                out = jax.vmap(one_view)(img_kfX, u_t, v_t, off_t)
                 return None, out                 # (k, T, c)
 
-            xs = (x_kST.transpose(1, 0, 2), y_kST.transpose(1, 0, 2),
+            xs = (u_kST.transpose(1, 0, 2), v_kST.transpose(1, 0, 2),
                   off_kS.transpose(1, 0))
             _, outs = jax.lax.scan(step, None, xs, unroll=unroll)
             return outs                          # (d*S, k, T, c)
 
         def tiered(i: int):
             if i == len(bands):
-                return run(w, zero_off[0])
+                return run(band_size, zero_off[0])
             return jax.lax.cond(fits_1[i],
                                 lambda: run(bands[i], offs_1[i]),
                                 lambda: tiered(i + 1))
@@ -268,7 +341,7 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
 
     outs = jax.lax.map(
         sweep_one,
-        (src_feats_bkhwc, x, y, tuple(offs), tuple(fits)))
+        (img_bkfX, u, v, tuple(offs), tuple(fits)))
 
     # (b, d*S, k, T, c) -> (b, k, d, N, c) undoing the tile ordering
     sampled = outs.transpose(0, 2, 1, 3, 4).reshape(
@@ -281,50 +354,33 @@ def sweep_warp_matmul(src_feats_bkhwc: jnp.ndarray,
                      pix_bkdN2)
 
 
-def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
-                     cur_bNc: jnp.ndarray,
-                     src_extrinsics_bk44: jnp.ndarray,
-                     src_Ks_bk44: jnp.ndarray,
-                     cur_invK_b44: jnp.ndarray,
-                     depth_planes_bd: jnp.ndarray,
-                     pose_penalty_bk3: jnp.ndarray,
-                     src_cam_loc_bk3: jnp.ndarray,
-                     mlp_params,
-                     compute_dtype=jnp.bfloat16,
-                     tile_h: Optional[int] = None,
-                     tile_w: Optional[int] = None,
-                     x_band: Optional[int] = None,
-                     unroll: int = 2) -> jnp.ndarray:
-    """Banded MXU warp with the metadata MLP fused into the sweep.
+class _FusedPrep(NamedTuple):
+    """Shared geometry/tiling prep for the fused sweep fwd AND bwd
+    (`sweep_mlp_volume` / its custom VJP) — one code path so the
+    backward recomputation can never drift from the forward."""
+    img_bkfX: jnp.ndarray      # (b, k, F, A*c) contract-axis-major
+    u: jnp.ndarray             # (b, k, d*S, T) contract-axis coords
+    v: jnp.ndarray             # (b, k, d*S, T) banded-axis coords
+    z: jnp.ndarray             # (b, k, d*S, T) projected depths
+    rays_t: jnp.ndarray        # (b, d*S, T, 3)
+    cur_t: jnp.ndarray         # (b, d*S, T, c)
+    plane_t: jnp.ndarray       # (b, d*S)
+    offs: tuple                # per-tier (b, k, d*S) int32
+    fits: tuple                # per-tier (b,) bool
+    zero_off: jnp.ndarray
 
-    Same tiered column-banded two-hot warp as `sweep_warp_matmul`, but
-    each scan step immediately assembles the 202-channel metadata vector
-    (exact reference order, `modules/cost_volume.py:709-723`) and runs
-    the MLP on the tile — so neither the (b, k, d, N, c) warp stack nor
-    the (b, d, N, 202) MLP input ever exists in HBM. The per-step MLP
-    is three more MXU matmuls ((T,202)x(202,128) etc.), ~0.3 ms total
-    on hero shapes, in exchange for several ms of stack traffic.
 
-    mlp_params: ((w0, b0), (w1, b1), (w2, b2)) — Dense kernels of shape
-    (in, out), LeakyReLU(0.01) between layers (reference MLP semantics,
-    `modules/networks.py:129-147`).
-
-    Returns (b, d, N) fp32 matching scores.
-    """
+def _fused_prep(src_feats_bkhwc, cur_bNc, src_extrinsics_bk44,
+                src_Ks_bk44, cur_invK_b44, depth_planes_bd,
+                compute_dtype, th: int, tw: int, bands,
+                band_axis: str) -> _FusedPrep:
     b, k, h, w, c = src_feats_bkhwc.shape
     d = depth_planes_bd.shape[1]
-    n = h * w
     dtype = compute_dtype
     f32 = jnp.float32
-
-    th = _largest_divisor_leq(h, h if tile_h is None else tile_h)
-    tw = _largest_divisor_leq(w, 32 if tile_w is None else tile_w)
-    if x_band is None:
-        bands = [v for v in (40, 64) if v < w]
-    else:
-        bands = [x_band] if x_band < w else []
     T = th * tw
     S = (h // th) * (w // tw)
+    band_size = h if band_axis == "y" else w
 
     grid_N3 = geo.pixel_grid(h, w)
     rays_bN3 = jnp.einsum("nj,bij->bni", grid_N3,
@@ -354,16 +410,84 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
     cur_t = tiled_pix(cur_bNc.astype(dtype))    # (b, d*S, T, c)
     plane_t = jnp.repeat(depth_planes_bd, S, axis=1)  # (b, d*S)
 
-    x0 = jnp.floor(x)
-    has_tap = (x > -1.0) & (x < w)
-    lo = jnp.min(jnp.where(has_tap, jnp.clip(x0, 0, w - 1), w - 1),
-                 axis=-1)
-    hi = jnp.max(jnp.where(has_tap, jnp.clip(x0 + 1, 0, w - 1), 0),
-                 axis=-1)
-    offs = [jnp.clip(lo, 0, w - v).astype(jnp.int32) for v in bands]
-    fits = [jnp.all(((hi - lo <= v - 1) | (lo >= w - v))
-                    .reshape(b, -1), axis=-1) for v in bands]
-    zero_off = jnp.zeros_like(lo, dtype=jnp.int32)
+    u, v = (x, y) if band_axis == "y" else (y, x)  # contract, banded
+    offs, fits, zero_off = _band_plan(v, band_size, bands)
+
+    if band_axis == "y":
+        img_bkfX = src_feats_bkhwc.transpose(0, 1, 3, 2, 4).reshape(
+            b, k, w, h * c).astype(dtype)
+    else:
+        img_bkfX = src_feats_bkhwc.reshape(b, k, h, w * c).astype(dtype)
+    return _FusedPrep(img_bkfX, u, v, z, rays_t, cur_t, plane_t,
+                      tuple(offs), tuple(fits), zero_off)
+
+
+def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
+                     cur_bNc: jnp.ndarray,
+                     src_extrinsics_bk44: jnp.ndarray,
+                     src_Ks_bk44: jnp.ndarray,
+                     cur_invK_b44: jnp.ndarray,
+                     depth_planes_bd: jnp.ndarray,
+                     pose_penalty_bk3: jnp.ndarray,
+                     src_cam_loc_bk3: jnp.ndarray,
+                     mlp_params,
+                     compute_dtype=jnp.bfloat16,
+                     tile_h: Optional[int] = None,
+                     tile_w: Optional[int] = None,
+                     x_band: Optional[int] = None,
+                     unroll: int = 2,
+                     band_axis: str = "x",
+                     custom_vjp: bool = False) -> jnp.ndarray:
+    """Banded MXU warp with the metadata MLP fused into the sweep.
+
+    Same tiered column-banded two-hot warp as `sweep_warp_matmul`, but
+    each scan step immediately assembles the 202-channel metadata vector
+    (exact reference order, `modules/cost_volume.py:709-723`) and runs
+    the MLP on the tile — so neither the (b, k, d, N, c) warp stack nor
+    the (b, d, N, 202) MLP input ever exists in HBM. The per-step MLP
+    is three more MXU matmuls ((T,202)x(202,128) etc.), ~0.3 ms total
+    on hero shapes, in exchange for several ms of stack traffic.
+
+    mlp_params: ((w0, b0), (w1, b1), (w2, b2)) — Dense kernels of shape
+    (in, out), LeakyReLU(0.01) between layers (reference MLP semantics,
+    `modules/networks.py:129-147`).
+
+    `custom_vjp=True` routes to `sweep_mlp_volume_cvjp` — a hand-written
+    backward (gradients w.r.t. features and MLP weights only; geometry
+    is treated as data, as in reference training where poses never
+    receive gradients).
+
+    Returns (b, d, N) fp32 matching scores.
+    """
+    if custom_vjp:
+        (w0, b0), (w1, b1), (w2, b2) = mlp_params
+        return _cvjp_builder(
+            jnp.dtype(compute_dtype).name, tile_h, tile_w, x_band,
+            unroll, band_axis)(
+                src_feats_bkhwc, cur_bNc, src_extrinsics_bk44,
+                src_Ks_bk44, cur_invK_b44, depth_planes_bd,
+                pose_penalty_bk3, src_cam_loc_bk3, w0, b0, w1, b1, w2,
+                b2)
+
+    b, k, h, w, c = src_feats_bkhwc.shape
+    d = depth_planes_bd.shape[1]
+    n = h * w
+    dtype = compute_dtype
+    f32 = jnp.float32
+
+    th, tw, bands = _band_axis_config(h, w, band_axis, tile_h, tile_w,
+                                      x_band)
+    T = th * tw
+    S = (h // th) * (w // tw)
+    contract_size = w if band_axis == "y" else h
+    band_size = h if band_axis == "y" else w
+
+    prep = _fused_prep(src_feats_bkhwc, cur_bNc, src_extrinsics_bk44,
+                       src_Ks_bk44, cur_invK_b44, depth_planes_bd,
+                       dtype, th, tw, bands, band_axis)
+    img_bkfX, u, v, z = prep.img_bkfX, prep.u, prep.v, prep.z
+    rays_t, cur_t, plane_t = prep.rays_t, prep.cur_t, prep.plane_t
+    offs, fits, zero_off = prep.offs, prep.fits, prep.zero_off
 
     (w0, b0), (w1, b1), (w2, b2) = mlp_params
     w0 = w0.astype(dtype)
@@ -371,9 +495,8 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
     w2 = w2.astype(dtype)
 
     def volume_one(args):
-        (img_khwc, x_kST, y_kST, z_kST, rays_ST3, cur_STc, plane_S,
+        (img_kfX, u_kST, v_kST, z_kST, rays_ST3, cur_STc, plane_S,
          penalty_k3, loc_k3, offs_1, fits_1) = args
-        img_khX = img_khwc.reshape(k, h, w * c)
 
         # the last 3k metadata channels (penalty, R, t) are per-frame
         # constants: their first-layer contribution is a fixed (128,)
@@ -387,22 +510,14 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
         def run(cur_band: int, off_kS):
             @jax.checkpoint
             def step(_, xs):
-                x_t, y_t, z_t, off_t, rays0, cur, plane = xs
-                col = off_t * c
+                u_t, v_t, z_t, off_t, rays0, cur, plane = xs
 
-                def one_view(img_hX, x_v, y_v, col_v):
-                    sl = jax.lax.dynamic_slice(
-                        img_hX, (0, col_v), (h, cur_band * c))
-                    ohy = _twohot(y_v, h, dtype)
-                    rows = jnp.einsum("th,hX->tX", ohy, sl,
-                                      preferred_element_type=f32)
-                    rows = rows.reshape(T, cur_band, c)
-                    xo = x_v - (col_v // c).astype(f32)
-                    ohx = _twohot(xo, cur_band, f32)
-                    return jnp.einsum("tx,txc->tc", ohx,
-                                      rows).astype(dtype)
+                def one_view(img_fX, u_v, v_v, off_v):
+                    return _tap_core(img_fX, u_v, v_v, off_v, cur_band,
+                                     contract_size, c, dtype
+                                     ).astype(dtype)
 
-                sampled = jax.vmap(one_view)(img_khX, x_t, y_t, col)
+                sampled = jax.vmap(one_view)(img_kfX, u_t, v_t, off_t)
 
                 # metadata assembly, exact reference channel order
                 mask = (z_t > 0).astype(f32)                   # (k, T)
@@ -436,7 +551,7 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
                               preferred_element_type=f32) + b2
                 return None, out[:, 0]                         # (T,)
 
-            xs = (x_kST.transpose(1, 0, 2), y_kST.transpose(1, 0, 2),
+            xs = (u_kST.transpose(1, 0, 2), v_kST.transpose(1, 0, 2),
                   z_kST.transpose(1, 0, 2), off_kS.transpose(1, 0),
                   rays_ST3, cur_STc, plane_S)
             _, outs = jax.lax.scan(step, None, xs, unroll=unroll)
@@ -444,7 +559,7 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
 
         def tiered(i: int):
             if i == len(bands):
-                return run(w, zero_off[0])
+                return run(band_size, zero_off[0])
             return jax.lax.cond(fits_1[i],
                                 lambda: run(bands[i], offs_1[i]),
                                 lambda: tiered(i + 1))
@@ -452,13 +567,261 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
 
     outs = jax.lax.map(
         volume_one,
-        (src_feats_bkhwc.astype(dtype), x, y, z, rays_t, cur_t, plane_t,
+        (img_bkfX, u, v, z, rays_t, cur_t, plane_t,
          pose_penalty_bk3.astype(f32), src_cam_loc_bk3.astype(f32),
          tuple(offs), tuple(fits)))                            # (b,d*S,T)
 
     vol = outs.reshape(b, d, h // th, w // tw, th, tw)
     vol = vol.transpose(0, 1, 2, 4, 3, 5).reshape(b, d, n)
     return vol
+
+
+@functools.lru_cache(maxsize=None)
+def _cvjp_builder(dtype_name: str, tile_h, tile_w, x_band, unroll: int,
+                  band_axis: str):
+    """Builds the custom-VJP fused sweep for one static config.
+
+    Rationale (the round-2 train-step bottleneck): the stock fused sweep
+    wraps every scan step in `jax.checkpoint`, so autodiff's backward
+    replays the step AND transposes every op in it — including the
+    two-hot tap construction and the projection chain, whose cotangents
+    flow only to poses/intrinsics that are DATA, never trained (the
+    reference likewise never backprops into poses: only network params
+    receive gradients, `/root/reference/experiment_modules/
+    depth_model.py:409-444`). This hand-written VJP stores nothing per
+    step (residuals are just the primal inputs), recomputes each step's
+    forward once in the backward scan, and propagates cotangents ONLY to
+    the source/current features and the MLP weights — all as dense MXU
+    matmuls (the transpose of a two-hot contraction is a two-hot
+    contraction). Geometry args receive symbolic zeros.
+    """
+    dtype = jnp.dtype(dtype_name)
+    f32 = jnp.float32
+
+    def primal(src_feats, cur_bNc, extr, Ks, invK, planes, penalty, loc,
+               w0, b0, w1, b1, w2, b2):
+        return sweep_mlp_volume(
+            src_feats, cur_bNc, extr, Ks, invK, planes, penalty, loc,
+            ((w0, b0), (w1, b1), (w2, b2)), compute_dtype=dtype,
+            tile_h=tile_h, tile_w=tile_w, x_band=x_band, unroll=unroll,
+            band_axis=band_axis, custom_vjp=False)
+
+    fused = jax.custom_vjp(primal)
+
+    def fwd(*args):
+        return primal(*args), args
+
+    def bwd(res, g_bdN):
+        (src_feats, cur_bNc, extr, Ks, invK, planes, penalty, loc,
+         w0, b0, w1, b1, w2, b2) = res
+        b, k, h, w, c = src_feats.shape
+        d = planes.shape[1]
+
+        th, tw, bands = _band_axis_config(h, w, band_axis, tile_h,
+                                          tile_w, x_band)
+        T = th * tw
+        S = (h // th) * (w // tw)
+        contract_size = w if band_axis == "y" else h
+        band_size = h if band_axis == "y" else w
+
+        prep = _fused_prep(src_feats, cur_bNc, extr, Ks, invK, planes,
+                           dtype, th, tw, bands, band_axis)
+
+        # incoming cotangent, tiled to the scan's step order
+        g = g_bdN.astype(f32).reshape(b, d, h // th, th, w // tw, tw)
+        g = g.transpose(0, 1, 2, 4, 3, 5).reshape(b, d * S, T)
+
+        w0d, w1d, w2d = (w0.astype(dtype), w1.astype(dtype),
+                         w2.astype(dtype))
+        w0f, w1f, w2f = (w0.astype(f32), w1.astype(f32),
+                         w2.astype(f32))
+
+        def grad_one(args):
+            (img_kfX, u_kST, v_kST, z_kST, rays_ST3, cur_STc, plane_S,
+             penalty_k3, loc_k3, offs_1, fits_1, g_ST) = args
+
+            pose_flat = penalty_k3.T.reshape(3 * k)          # (3k,)
+            w0_var = w0d[:-3 * k]
+            pose_bias = jnp.dot(pose_flat.astype(dtype), w0d[-3 * k:],
+                                preferred_element_type=f32)
+
+            def run(cur_band: int, off_kS):
+                def step(carry, xs):
+                    (d_img, d_w0v, d_h0sum, d_w1a, d_b1a, d_w2a,
+                     d_b2a) = carry
+                    u_t, v_t, z_t, off_t, rays0, cur, plane, g_t = xs
+
+                    # ---- recompute the forward step (same math as
+                    # `sweep_mlp_volume`'s scan body) ----
+                    def taps(img_fX, u_v, v_v, off_v):
+                        sl = jax.lax.dynamic_slice(
+                            img_fX, (0, off_v * c),
+                            (contract_size, cur_band * c))
+                        ohu = _twohot(u_v, contract_size, dtype)
+                        rows = jnp.einsum(
+                            "tf,fX->tX", ohu, sl,
+                            preferred_element_type=f32)
+                        rows = rows.reshape(T, cur_band, c)
+                        vo = v_v - off_v.astype(f32)
+                        ohv = _twohot(vo, cur_band, f32)
+                        samp = jnp.einsum("tv,tvc->tc", ohv, rows)
+                        return samp.astype(dtype), ohu, ohv
+
+                    sampled, ohu_k, ohv_k = jax.vmap(taps)(
+                        img_kfX, u_t, v_t, off_t)       # (k,T,c) dtype
+
+                    mask = (z_t > 0).astype(f32)                 # (k,T)
+                    cur_f = cur.astype(f32)                      # (T,c)
+                    sampled_f = sampled.astype(f32)
+                    dots = jnp.einsum("ktc,tc->kt", sampled_f,
+                                      cur_f) * mask
+                    world = rays0 * plane                        # (T,3)
+                    cur_ray = geo.normalize(world, axis=-1)
+                    src_rays = geo.normalize(
+                        world[None] - loc_k3[:, None, :], axis=-1)
+                    angle = geo.cosine_similarity(
+                        cur_ray[None], src_rays, axis=-1, eps=1e-5)
+
+                    feats = jnp.concatenate(
+                        [sampled.transpose(1, 0, 2).reshape(T, k * c),
+                         cur_f, mask.T, z_t.T,
+                         jnp.full((T, 1), plane, f32),
+                         dots.T, angle.T, cur_ray,
+                         src_rays.transpose(1, 0, 2).reshape(T, k * 3)],
+                        axis=-1).astype(dtype)          # (T, C_in - 3k)
+
+                    h0pre = (jnp.dot(feats, w0_var,
+                                     preferred_element_type=f32)
+                             + pose_bias + b0)
+                    h0 = jax.nn.leaky_relu(h0pre, 0.01)
+                    h0d = h0.astype(dtype)
+                    h1pre = jnp.dot(h0d, w1d,
+                                    preferred_element_type=f32) + b1
+                    h1 = jax.nn.leaky_relu(h1pre, 0.01)
+                    h1d = h1.astype(dtype)
+
+                    # ---- backward through the MLP ----
+                    g_T = g_t                                     # (T,)
+                    d_h1 = g_T[:, None] * w2f[None, :, 0]      # (T,128)
+                    d_w2a = d_w2a + jnp.einsum(
+                        "th,t->h", h1, g_T)[:, None]
+                    d_b2a = d_b2a + jnp.sum(g_T)[None]
+                    d_h1p = d_h1 * jnp.where(h1pre > 0, 1.0, 0.01)
+                    d_h1pd = d_h1p.astype(dtype)
+                    d_h0 = jnp.dot(d_h1pd, w1d.T,
+                                   preferred_element_type=f32)
+                    d_w1a = d_w1a + jnp.dot(
+                        h0d.T, d_h1pd, preferred_element_type=f32)
+                    d_b1a = d_b1a + jnp.sum(d_h1p, axis=0)
+                    d_h0p = d_h0 * jnp.where(h0pre > 0, 1.0, 0.01)
+                    d_h0pd = d_h0p.astype(dtype)
+                    d_feats = jnp.dot(d_h0pd, w0_var.T,
+                                      preferred_element_type=f32)
+                    d_w0v = d_w0v + jnp.dot(
+                        feats.T, d_h0pd, preferred_element_type=f32)
+                    d_h0sum = d_h0sum + jnp.sum(d_h0p, axis=0)
+
+                    # ---- split d_feats; only features carry gradient
+                    # (mask/z/plane/angle/ray channels are geometry) ----
+                    d_samp = d_feats[:, :k * c].reshape(
+                        T, k, c).transpose(1, 0, 2)          # (k,T,c)
+                    d_cur = d_feats[:, k * c:k * c + c]       # (T,c)
+                    o = k * c + c + 2 * k + 1
+                    d_dots = d_feats[:, o:o + k].T * mask     # (k,T)
+
+                    # dots = sum_c sampled*cur (masked)
+                    d_samp = d_samp + d_dots[:, :, None] * cur_f[None]
+                    d_cur = d_cur + jnp.einsum(
+                        "kt,ktc->tc", d_dots, sampled_f)
+
+                    # ---- backward through the two-hot warp: the
+                    # transpose of a two-hot contraction is a two-hot
+                    # contraction (dense MXU matmul, no gathers) ----
+                    def tap_bwd(d_img_v, ohu, ohv, off_v, d_s):
+                        d_rows = (ohv[:, :, None] *
+                                  d_s[:, None, :]).reshape(
+                                      T, cur_band * c).astype(dtype)
+                        d_sl = jnp.einsum(
+                            "tf,tX->fX", ohu, d_rows,
+                            preferred_element_type=f32)
+                        acc = jax.lax.dynamic_slice(
+                            d_img_v, (0, off_v * c),
+                            (contract_size, cur_band * c))
+                        return jax.lax.dynamic_update_slice(
+                            d_img_v, acc + d_sl, (0, off_v * c))
+
+                    d_img = jax.vmap(tap_bwd)(
+                        d_img, ohu_k, ohv_k, off_t, d_samp)
+
+                    return (d_img, d_w0v, d_h0sum, d_w1a, d_b1a,
+                            d_w2a, d_b2a), d_cur
+
+                xs = (u_kST.transpose(1, 0, 2),
+                      v_kST.transpose(1, 0, 2),
+                      z_kST.transpose(1, 0, 2), off_kS.transpose(1, 0),
+                      rays_ST3, cur_STc, plane_S, g_ST)
+                carry0 = (
+                    jnp.zeros((k, contract_size, band_size * c), f32),
+                    jnp.zeros((w0.shape[0] - 3 * k, w0.shape[1]), f32),
+                    jnp.zeros((w0.shape[1],), f32),
+                    jnp.zeros(w1.shape, f32),
+                    jnp.zeros(w1.shape[1:], f32),
+                    jnp.zeros(w2.shape, f32),
+                    jnp.zeros(w2.shape[1:], f32))
+                carry, d_cur_steps = jax.lax.scan(step, carry0, xs,
+                                                  unroll=unroll)
+                return carry + (d_cur_steps,)
+
+            def tiered(i: int):
+                if i == len(bands):
+                    return run(band_size, prep.zero_off[0])
+                return jax.lax.cond(fits_1[i],
+                                    lambda: run(bands[i], offs_1[i]),
+                                    lambda: tiered(i + 1))
+
+            (d_img, d_w0v, d_h0sum, d_w1a, d_b1a, d_w2a, d_b2a,
+             d_cur_steps) = tiered(0)
+
+            # fold the pose-constant first-layer rows: their forward
+            # contribution was pose_flat @ w0[-3k:]
+            d_w0p = jnp.einsum("p,h->ph", pose_flat.astype(f32),
+                               d_h0sum)
+            d_w0 = jnp.concatenate([d_w0v, d_w0p], axis=0)
+
+            # (d*S, T, c): sum over planes, then un-tile
+            d_cur = d_cur_steps.reshape(d, S, T, c).sum(0)
+            d_cur = d_cur.reshape(h // th, w // tw, th, tw, c)
+            d_cur = d_cur.transpose(0, 2, 1, 3, 4).reshape(h * w, c)
+            return (d_img, d_cur, d_w0, d_h0sum, d_w1a, d_b1a, d_w2a,
+                    d_b2a)
+
+        (d_img, d_cur, d_w0, d_b0, d_w1, d_b1, d_w2, d_b2) = jax.lax.map(
+            grad_one,
+            (prep.img_bkfX, prep.u, prep.v, prep.z, prep.rays_t,
+             prep.cur_t, prep.plane_t, penalty.astype(f32),
+             loc.astype(f32), prep.offs, prep.fits, g))
+
+        # un-do the contract-axis-major image layout
+        if band_axis == "y":
+            d_src = d_img.reshape(b, k, w, h, c).transpose(0, 1, 3, 2, 4)
+        else:
+            d_src = d_img.reshape(b, k, h, w, c)
+
+        zeros = (jnp.zeros_like(extr), jnp.zeros_like(Ks),
+                 jnp.zeros_like(invK), jnp.zeros_like(planes),
+                 jnp.zeros_like(penalty), jnp.zeros_like(loc))
+        return ((d_src.astype(src_feats.dtype),
+                 d_cur.astype(cur_bNc.dtype))
+                + zeros
+                + (d_w0.sum(0).astype(w0.dtype),
+                   d_b0.sum(0).astype(b0.dtype),
+                   d_w1.sum(0).astype(w1.dtype),
+                   d_b1.sum(0).astype(b1.dtype),
+                   d_w2.sum(0).astype(w2.dtype),
+                   d_b2.sum(0).astype(b2.dtype)))
+
+    fused.defvjp(fwd, bwd)
+    return fused
 
 
 def border_validity_mask(pix_bkN2: jnp.ndarray, height: int, width: int

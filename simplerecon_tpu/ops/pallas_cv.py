@@ -228,6 +228,306 @@ def fused_feature_volume(sampled_kRc: jnp.ndarray,
     return out.reshape(b, d, N)
 
 
+def _twohot_T(coord_t, size: int, tile: int):
+    """Transposed tent two-hot: (size, T) bilinear tap weights for (T,)
+    coords (same tap math as `ops.cost_volume._twohot`, channel-major)."""
+    iota = jax.lax.broadcasted_iota(jnp.float32, (size, tile), 0)
+    wgt = 1.0 - jnp.abs(coord_t[None, :] - iota)
+    return jnp.maximum(wgt, 0.0)
+
+
+def _banded_kernel(planes_ref, off_ref, pose_meta_ref, src_loc_ref,
+                   img_ref, u_ref, v_ref, z_ref, cur_ref, rays_ref,
+                   w0t_ref, b0_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                   out_ref, *, k: int, c: int, d: int, S: int, w: int,
+                   band: int, tile: int):
+    """One (batch, plane, tile) cell of the y-banded fused sweep.
+
+    The TPU-shaped formulation of `ops.cost_volume.sweep_mlp_volume`'s
+    scan step, hand-scheduled and fully CHANNEL-MAJOR (everything is
+    (channels, T) with the T samples on lanes):
+
+      * source features live VMEM-resident in (h*c, w) layout, so the
+        y-band slice is a dynamic SUBLANE slice at offset off*c —
+        16-aligned for any offset when c = 16, no offset quantization;
+      * the x taps are one (band*c, w) x (w, T) MXU matmul per view
+        (K = w = 128 at hero scale: an exact systolic pass);
+      * the y taps are a per-sample reduce over the band (VPU);
+      * metadata + the 3-layer MLP run transposed: (128, C_in) x
+        (C_in, T) keeps T on lanes end to end.
+
+    The batch is a leading GRID dimension, not a host loop: per-element
+    band offsets are SMEM scalar reads, so batching costs nothing and
+    cells from different elements pipeline back to back (the XLA scan
+    path's `lax.map` serializes per element instead).
+
+    Ref shapes: planes (b, d) SMEM; off (b, k, d*S) int32 SMEM;
+    pose_meta / src_loc (1, k, 3); img (1, k, h*c, w); u/v/z
+    (1, k, 1, T); cur (1, 1, c, T); rays (1, 1, 3, T); w0t (128, C_in),
+    w1t (128, 128), w2t (1, 128); out (1, 1, 1, T).
+    """
+    f32 = jnp.float32
+    bi = pl.program_id(0)
+    di = pl.program_id(1)
+    si = pl.program_id(2)
+    step = di * S + si
+    plane = planes_ref[bi, di]
+    wdtype = w0t_ref.dtype
+
+    cur_T = cur_ref[0, 0].astype(f32)                  # (c, T)
+    rays0_T = rays_ref[0, 0].astype(f32)               # (3, T)
+    world_T = rays0_T * plane
+    inv_n0 = jax.lax.rsqrt(jnp.sum(rays0_T * rays0_T, axis=0) + 1e-30)
+    rays_n = rays0_T * inv_n0[None, :]
+
+    sampled_list, mask_list, z_list, dot_list = [], [], [], []
+    sr_list, angle_list = [], []
+    for view in range(k):
+        off_v = off_ref[bi, view, step]                # scalar (SMEM)
+        u = u_ref[0, view, 0]                          # (T,)
+        v = v_ref[0, view, 0]
+        z = z_ref[0, view, 0].astype(f32)
+
+        sl = img_ref[0, view, pl.dslice(off_v * c, band * c), :]
+        ohu_T = _twohot_T(u, w, tile).astype(wdtype)   # (w, T)
+        rows_T = jnp.dot(sl, ohu_T,
+                         preferred_element_type=f32)   # (band*c, T)
+        vo = v - off_v.astype(f32)
+        ohv_T = _twohot_T(vo, band, tile)              # (band, T)
+        sampled_T = jnp.sum(rows_T.reshape(band, c, tile)
+                            * ohv_T[:, None, :], axis=0)  # (c, T)
+
+        mask = (z > 0).astype(f32)
+        loc = src_loc_ref[0, view].astype(f32)         # (3,)
+        v3 = world_T - loc[:, None]
+        inv_n = jax.lax.rsqrt(jnp.sum(v3 * v3, axis=0) + 1e-30)
+        sr = v3 * inv_n[None, :]
+
+        sampled_list.append(sampled_T)
+        mask_list.append(mask[None, :])
+        z_list.append(z[None, :])
+        dot_list.append((jnp.sum(sampled_T * cur_T, axis=0)
+                         * mask)[None, :])
+        sr_list.append(sr)
+        angle_list.append(jnp.sum(rays_n * sr, axis=0)[None, :])
+
+    pose_rows = [jnp.full((1, tile), pose_meta_ref[0, view, j], f32)
+                 for j in range(3) for view in range(k)]
+
+    feats_T = jnp.concatenate(
+        sampled_list + [cur_T] + mask_list + z_list
+        + [jnp.full((1, tile), plane, f32)] + dot_list + angle_list
+        + [rays_n] + sr_list + pose_rows, axis=0)      # (C_in, T)
+
+    h0 = jnp.dot(w0t_ref[...], feats_T.astype(wdtype),
+                 preferred_element_type=f32) + b0_ref[...][:, None]
+    h0 = jax.nn.leaky_relu(h0, negative_slope=0.01)
+    h1 = jnp.dot(w1t_ref[...], h0.astype(wdtype),
+                 preferred_element_type=f32) + b1_ref[...][:, None]
+    h1 = jax.nn.leaky_relu(h1, negative_slope=0.01)
+    out = jnp.dot(w2t_ref[...], h1.astype(wdtype),
+                  preferred_element_type=f32) + b2_ref[...][:, None]
+    out_ref[0, 0, 0, :] = out[0]
+
+
+def _banded_call(img_bkXw, u, v, z, cur_bSCT, rays_bS3T, planes_bd,
+                 off_bkdS, pose_meta_bk3, src_loc_bk3,
+                 w0t, b0, w1t, b1, w2t, b2,
+                 *, b, k, c, d, S, w, band, tile, interpret):
+    """pallas_call wrapper: full batch at one band tier, grid (b, d, S)."""
+    kernel = functools.partial(_banded_kernel, k=k, c=c, d=d, S=S, w=w,
+                               band=band, tile=tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, d, S),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # off
+            pl.BlockSpec((1, k, 3), lambda bi, di, si: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),              # pose
+            pl.BlockSpec((1, k, 3), lambda bi, di, si: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),              # src loc
+            pl.BlockSpec((1, k, img_bkXw.shape[2], w),
+                         lambda bi, di, si: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),              # img
+            pl.BlockSpec((1, k, 1, tile),
+                         lambda bi, di, si, S=S: (bi, 0, di * S + si, 0),
+                         memory_space=pltpu.VMEM),              # u
+            pl.BlockSpec((1, k, 1, tile),
+                         lambda bi, di, si, S=S: (bi, 0, di * S + si, 0),
+                         memory_space=pltpu.VMEM),              # v
+            pl.BlockSpec((1, k, 1, tile),
+                         lambda bi, di, si, S=S: (bi, 0, di * S + si, 0),
+                         memory_space=pltpu.VMEM),              # z
+            pl.BlockSpec((1, 1, c, tile),
+                         lambda bi, di, si: (bi, si, 0, 0),
+                         memory_space=pltpu.VMEM),              # cur
+            pl.BlockSpec((1, 1, 3, tile),
+                         lambda bi, di, si: (bi, si, 0, 0),
+                         memory_space=pltpu.VMEM),              # rays
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w0t
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # b0
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w1t
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w2t
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # b2
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, tile),
+                               lambda bi, di, si: (bi, di, si, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d, S, tile), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * S * tile * k * (band * c + w * band * c // w
+                                              + 202 + 128),
+            bytes_accessed=img_bkXw.size * img_bkXw.dtype.itemsize
+            + 3 * b * k * d * S * tile * 4 + b * d * S * tile * 4,
+            transcendentals=b * d * S * tile * k),
+    )(planes_bd, off_bkdS, pose_meta_bk3, src_loc_bk3, img_bkXw,
+      u, v, z, cur_bSCT, rays_bS3T, w0t, b0, w1t, b1, w2t, b2)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_h", "tile_w", "bands",
+                                    "interpret"))
+def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
+                               cur_bNc: jnp.ndarray,
+                               src_extrinsics_bk44: jnp.ndarray,
+                               src_Ks_bk44: jnp.ndarray,
+                               cur_invK_b44: jnp.ndarray,
+                               depth_planes_bd: jnp.ndarray,
+                               pose_meta_bk3: jnp.ndarray,
+                               src_loc_bk3: jnp.ndarray,
+                               w0, b0, w1, b1, w2, b2,
+                               tile_h: int = 8,
+                               tile_w: int = 64,
+                               bands: Tuple[int, ...] = (16, 32),
+                               interpret: bool = False) -> jnp.ndarray:
+    """Y-banded fused warp+metadata+MLP — the Pallas analogue of
+    `ops.cost_volume.sweep_mlp_volume` (band_axis="y" geometry).
+
+    Geometry (projection, band spans, tier fits) is computed in XLA; the
+    kernel consumes per-tile coordinates and band offsets and keeps
+    the source maps VMEM-resident across the whole (plane, tile) grid
+    — no scan carries, no per-step dynamic_slice HBM round-trips, no
+    warp/metadata stack in HBM. Banding is tiered per batch element
+    exactly like the XLA path: `lax.cond` picks the narrowest band that
+    covers every tile's y-span, with an exact full-height fallback.
+
+    Narrow tiles (default 8 x 64) keep the y-span — tile_h plus
+    epipolar tilt across tile_w columns — inside the 16-row band for
+    typical motion; the per-cell overhead that makes many small steps
+    expensive in the XLA scan is ~zero here.
+
+    Returns (b, d, N) fp32 matching scores.
+    """
+    from simplerecon_tpu.ops import geometry as geo
+
+    b, k, h, w, c = src_feats_bkhwc.shape
+    d = depth_planes_bd.shape[1]
+    n = h * w
+    f32 = jnp.float32
+    dtype = w0.dtype
+
+    th = tile_h
+    while h % th != 0:
+        th -= 1
+    tw = tile_w
+    while w % tw != 0:
+        tw -= 1
+    S = (h // th) * (w // tw)
+    tile = th * tw
+    band_list = [v for v in bands if v < h]
+
+    grid_N3 = geo.pixel_grid(h, w)
+    rays_bN3 = jnp.einsum("nj,bij->bni", grid_N3,
+                          cur_invK_b44[:, :3, :3].astype(f32))
+    world_bdN3 = rays_bN3[:, None] * depth_planes_bd[..., None, None]
+    uvz = geo.project_points(
+        world_bdN3[:, None],
+        src_Ks_bk44[:, :, None].astype(f32),
+        src_extrinsics_bk44[:, :, None].astype(f32))  # (b, k, d, N, 3)
+
+    # (b, k, d, N) -> (b, k, d*S, T) in tile-major order
+    def stripes(a_bkdN):
+        a = a_bkdN.reshape(b, k, d, h // th, th, w // tw, tw)
+        a = a.transpose(0, 1, 2, 3, 5, 4, 6)
+        return a.reshape(b, k, d * S, tile)
+
+    u = stripes(uvz[..., 0] - 0.5)
+    v = stripes(uvz[..., 1] - 0.5)
+    z = stripes(uvz[..., 2])
+
+    # per-(view, plane, tile) y span and tier fits. Band offsets are
+    # quantized so off*c lands on a sublane-tile boundary (granularity
+    # 16 rows for bf16, 8 for f32): q = 1 whenever c is a multiple of
+    # the granularity (the hero c = 16), else the band widens by q.
+    import math
+    gran = 16 if dtype == jnp.bfloat16 else 8
+    q = gran // math.gcd(c, gran)
+    band_list = [bv + (q if q > 1 else 0) for bv in band_list]
+    band_list = [bv for bv in band_list if bv < h]
+
+    v0 = jnp.floor(v)
+    has_tap = (v > -1.0) & (v < h)
+    lo = jnp.min(jnp.where(has_tap, jnp.clip(v0, 0, h - 1), h - 1),
+                 axis=-1)
+    hi = jnp.max(jnp.where(has_tap, jnp.clip(v0 + 1, 0, h - 1), 0),
+                 axis=-1)
+    # tier choice is BATCH-WIDE (one pallas_call serves the whole batch;
+    # a single wide-motion element widens everyone's band — still exact)
+    offs = []
+    fits = []
+    for bv in band_list:
+        off_raw = jnp.clip(lo, 0, h - bv)
+        off_q = (off_raw.astype(jnp.int32) // q) * q
+        offs.append(off_q)
+        fits.append(jnp.all(hi - off_q <= bv - 1))
+    zero_off = jnp.zeros_like(lo, dtype=jnp.int32)
+
+    # channel-major operands
+    def tile_pix(a_bNe):
+        e = a_bNe.shape[-1]
+        a = a_bNe.reshape(b, h // th, th, w // tw, tw, e)
+        a = a.transpose(0, 1, 3, 2, 4, 5).reshape(b, S, tile, e)
+        return a.transpose(0, 1, 3, 2)               # (b, S, e, T)
+
+    # (y, c)-major rows over w columns: the y-band slice is a contiguous
+    # sublane slice at off*c (16-aligned for any off when c = 16)
+    img_bkXw = src_feats_bkhwc.transpose(0, 1, 2, 4, 3).reshape(
+        b, k, h * c, w).astype(dtype)
+    cur_bSCT = tile_pix(cur_bNc.astype(dtype))
+    rays_bS3T = tile_pix(rays_bN3)
+    w0t = jnp.transpose(w0).astype(dtype)
+    w1t = jnp.transpose(w1).astype(dtype)
+    w2t = jnp.transpose(w2).astype(dtype)
+    b0f = b0.astype(f32)
+    b1f = b1.astype(f32)
+    b2f = b2.astype(f32)
+
+    def run(band, off_bkdS):
+        return _banded_call(
+            img_bkXw, u, v, z, cur_bSCT, rays_bS3T, depth_planes_bd,
+            off_bkdS, pose_meta_bk3.astype(f32),
+            src_loc_bk3.astype(f32),
+            w0t, b0f, w1t, b1f, w2t, b2f,
+            b=b, k=k, c=c, d=d, S=S, w=w, band=band, tile=tile,
+            interpret=interpret)
+
+    def tiered(i):
+        if i == len(band_list):
+            return run(h, zero_off)
+        return jax.lax.cond(fits[i],
+                            lambda: run(band_list[i], offs[i]),
+                            lambda: tiered(i + 1))
+
+    out = tiered(0)                                       # (b, d, S, T)
+    out = out.reshape(b, d, h // th, w // tw, th, tw)
+    return out.transpose(0, 1, 2, 4, 3, 5).reshape(b, d, n)
+
+
 def _twohot_weights(coord, size: int, tile: int):
     """Two-hot bilinear tap matrix (T, size), zeros out of range.
     Same tap math as `ops.cost_volume._twohot` (grid_sample parity)."""

@@ -118,6 +118,17 @@ class Options:
     # fused warp+metadata+MLP kernel) | "pallas_v1" (XLA warp sweep +
     # fused metadata/MLP kernel)
     cost_volume_backend: str = "xla_fused"
+    # which image axis the banded-matmul sweep bands: "x" (column
+    # stripes, full-height contraction — fastest measured for the XLA
+    # scan: 11.3 ms warp vs 14.8-25.8 ms for "y" on hero shapes, where
+    # epipolar tilt widens row-stripe y-spans and triples the scan step
+    # count) | "y" (row stripes, full-width contraction)
+    cost_volume_band_axis: str = "x"
+    # hand-written VJP for the fused sweep's backward pass (xla_fused):
+    # recompute-once backward with gradients to features + MLP weights
+    # only (geometry/poses are data, never trained — reference
+    # semantics; see ops/cost_volume.py::_cvjp_builder)
+    cost_volume_custom_vjp: bool = True
 
     # --------------------------- visualization ----------------------------
     standard_fps: int = 30

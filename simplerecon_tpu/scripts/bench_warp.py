@@ -6,9 +6,10 @@ program, two chain lengths differenced). Hero shapes by default:
 
     python -m simplerecon_tpu.scripts.bench_warp [batch] [cfg ...]
 
-cfg strings: "gather", or "tile_h,tile_w,band" e.g. "32,32,48" (warp
-only), or "mlp:tile_h,tile_w,band" (full fused sweep_mlp_volume with a
-202-ch MLP — the xla_fused hot loop).
+cfg strings: "gather", or "[mlp:][x:|y:]tile_h,tile_w,band[,unroll]"
+e.g. "x:96,32,48" (column-banded warp), "y:8,128,16" (row-stripe
+y-banded warp), "mlp:y:8,128,16,2" (full fused sweep_mlp_volume with a
+202-ch MLP — the xla_fused hot loop). Axis defaults to "y".
 """
 
 from __future__ import annotations
@@ -42,8 +43,9 @@ def _two_point(make_chain, args, k1=2, k2=8, repeats=3):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    cfgs = sys.argv[2:] or ["gather", "96,128,128", "32,32,48", "32,32,32",
-                            "96,32,64", "32,64,80", "16,32,48", "96,32,48"]
+    cfgs = sys.argv[2:] or ["x:96,32,40", "y:8,128,16", "y:4,128,16",
+                            "y:16,128,24", "mlp:x:96,32,40,2",
+                            "mlp:y:8,128,16,2", "mlp:y:8,128,16,4"]
 
     b, k, h, w, c, d = batch, 7, 96, 128, 16, 64
     rng = np.random.RandomState(0)
@@ -84,30 +86,59 @@ def main():
             fn = lambda s: cv_ops.sweep_warp(  # noqa: E731
                 s, ex, src_K, invK, planes, backend="gather")
             label = "gather"
-        elif cfg.startswith("mlp:"):
-            parts = [int(v) for v in cfg[4:].split(",")]
-            th, tw, band = parts[:3]
-            unroll = parts[3] if len(parts) > 3 else 1
+        elif cfg.startswith("pallas:"):
+            from simplerecon_tpu.ops import pallas_cv
+            th, tw, band = (int(v) for v in cfg[7:].split(","))
 
-            def fn(s, th=th, tw=tw, band=band, unroll=unroll):
-                vol = cv_ops.sweep_mlp_volume(
+            def fn(s, th=th, tw=tw, band=band):
+                (w0, b0), (w1, b1), (w2, b2) = mlp
+                return pallas_cv.banded_warp_feature_volume(
                     s, cur_feats, ex, src_K, invK, planes, penalty, loc,
-                    mlp, compute_dtype=jnp.bfloat16,
-                    tile_h=th, tile_w=tw, x_band=band, unroll=unroll)
-                return vol
-            label = f"mlp tile=({th},{tw}) band={band} u{unroll}"
+                    w0.astype(jnp.bfloat16), b0, w1.astype(jnp.bfloat16),
+                    b1, w2.astype(jnp.bfloat16), b2,
+                    tile_h=th, tile_w=tw, bands=(band,))
+            label = f"pallas tile=({th},{tw}) band={band}"
         else:
-            th, tw, band = (int(v) for v in cfg.split(","))
-            fn = lambda s, th=th, tw=tw, band=band: \
-                cv_ops.sweep_warp_matmul(s, ex, src_K, invK, planes,
-                                         tile_h=th, tile_w=tw, x_band=band)
-            label = f"tile=({th},{tw}) band={band}"
+            spec = cfg
+            use_mlp = spec.startswith("mlp:")
+            if use_mlp:
+                spec = spec[4:]
+            axis = "y"
+            if spec[:2] in ("x:", "y:"):
+                axis = spec[0]
+                spec = spec[2:]
+            parts = [int(v) for v in spec.split(",")]
+            th, tw, band = parts[:3]
+            unroll = parts[3] if len(parts) > 3 else (2 if use_mlp else 1)
+
+            if use_mlp:
+                def fn(s, th=th, tw=tw, band=band, unroll=unroll,
+                       axis=axis):
+                    return cv_ops.sweep_mlp_volume(
+                        s, cur_feats, ex, src_K, invK, planes, penalty,
+                        loc, mlp, compute_dtype=jnp.bfloat16,
+                        tile_h=th, tile_w=tw, x_band=band, unroll=unroll,
+                        band_axis=axis)
+            else:
+                def fn(s, th=th, tw=tw, band=band, unroll=unroll,
+                       axis=axis):
+                    return cv_ops.sweep_warp_matmul(
+                        s, ex, src_K, invK, planes, tile_h=th, tile_w=tw,
+                        x_band=band, unroll=unroll, band_axis=axis)
+            label = (f"{'mlp ' if use_mlp else ''}{axis}-band "
+                     f"tile=({th},{tw}) band={band} u{unroll}")
 
         def make_chain(kk, fn=fn):
             def chain(s):
                 def body(i, token):
-                    si = s + (token + i.astype(jnp.float32) * 0.01
-                              ).astype(s.dtype)
+                    # maximum(), not + : the warp is LINEAR in the source
+                    # features, so an additive token distributes through
+                    # it and XLA can hoist the loop-invariant warp(s) out
+                    # of the chain (the round-2 calibration trap).
+                    si = jnp.maximum(
+                        s, (token - jnp.float32(5.0) +
+                            i.astype(jnp.float32) * jnp.float32(1e-6)
+                            ).astype(s.dtype))
                     out = fn(si)
                     arr = (out.sampled_bkdNc
                            if hasattr(out, "sampled_bkdNc") else out)
@@ -118,9 +149,10 @@ def main():
 
         try:
             ms = _two_point(make_chain, (src,))
-            print(f"  b{batch} {label:24s} {ms:8.3f} ms")
+            print(f"  b{batch} {label:32s} {ms:8.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"  b{batch} {label:24s} FAILED: {str(e)[:120]}")
+            print(f"  b{batch} {label:32s} FAILED: {str(e)[:120]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--steps", type=int, default=1200)  # BN running stats need ~500 steps to settle
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--eval_every", type=int, default=300)
+    # BN re-estimation experiment (the eval-metrics-lag probe): after
+    # every eval, ALSO report abs_rel with running stats re-estimated
+    # from N train-mode forward passes — isolating how much of the
+    # train/eval metric gap is pure BatchNorm running-stat staleness
+    ap.add_argument("--bn_recal", type=int, default=0)
     args = ap.parse_args()
 
     opts = make_opts(args)
@@ -88,6 +93,22 @@ def main():
                       donate_argnums=(0,))
     eval_step = jax.jit(eval_step_fn(model))
 
+    @jax.jit
+    def recal_step(state, batch):
+        """One train-mode forward purely for the BN running-stat EMA
+        (momentum 0.9 => ~10 passes to converge to the data stats)."""
+        _, mut = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["cur"], batch["src"], flip=False, train=True,
+            mutable=["batch_stats"])
+        return state.replace(batch_stats=mut["batch_stats"])
+
+    def recal_abs_rel(state) -> float:
+        for _ in range(max(1, args.bn_recal // len(batches))):
+            for b in batches:
+                state = recal_step(state, b)
+        return eval_abs_rel(eval_step, state, batches)
+
     abs_rel_0 = eval_abs_rel(eval_step, state, batches)
     print(f"step 0: abs_rel={abs_rel_0:.4f}")
 
@@ -103,9 +124,12 @@ def main():
             step += 1
             if step % args.eval_every == 0:
                 abs_rel = eval_abs_rel(eval_step, state, batches)
+                recal = (f" abs_rel_bn_recal={recal_abs_rel(state):.4f}"
+                         if args.bn_recal else "")
                 print(f"step {step}: loss={float(metrics['loss']):.4f} "
-                      f"abs_rel={abs_rel:.4f} "
-                      f"({step / (time.perf_counter() - t0):.1f} it/s)")
+                      f"abs_rel={abs_rel:.4f}{recal} "
+                      f"({step / (time.perf_counter() - t0):.1f} it/s)",
+                      flush=True)
 
     abs_rel_final = eval_abs_rel(eval_step, state, batches)
     improved = abs_rel_final < 0.6 * abs_rel_0

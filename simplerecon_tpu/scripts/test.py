@@ -99,6 +99,42 @@ def evaluate_batch(depth_pred_bhw: np.ndarray, full_gt_bhw: np.ndarray
         mult_a=True)
 
 
+def _scan_trajectory(dataset, scan):
+    """(n, 4, 4) world_T_cam of every reference frame in the scan's
+    tuples (for trajectory-derived TSDF bounds); None if unavailable."""
+    import numpy as np
+    poses = []
+    for line in dataset.frame_tuples:
+        parts = line.split(" ")
+        if len(parts) < 2 or parts[0] != scan:
+            continue
+        try:
+            world_T_cam, _ = dataset.load_pose(scan, parts[1])
+        except Exception:
+            return None
+        if np.all(np.isfinite(world_T_cam)):
+            poses.append(world_T_cam)
+    return np.stack(poses) if poses else None
+
+
+def _scan_invK(dataset, scan):
+    """(invK_44, (h, w)) at the s0 scale for frustum bounds, or
+    (None, None) when intrinsics are unavailable."""
+    import numpy as np
+    try:
+        for line in dataset.frame_tuples:
+            parts = line.split(" ")
+            if len(parts) < 2 or parts[0] != scan:
+                continue
+            intr = dataset.load_intrinsics(scan, parts[1])
+            invK = np.asarray(intr["invK_s0_b44"]).reshape(4, 4)
+            return invK, (dataset.image_height // 2,
+                          dataset.image_width // 2)
+    except Exception:
+        pass
+    return None, None
+
+
 def main(opts: Options):
     results_path = os.path.join(opts.output_base_path, opts.name,
                                 opts.dataset, opts.frame_tuple_type)
@@ -152,7 +188,20 @@ def main(opts: Options):
                     gt_mesh = ""
             except NotImplementedError:
                 pass
-            fuser = get_fuser(opts, gt_mesh)
+            bounds = None
+            if not gt_mesh:
+                # size the TSDF grid from the scan's camera frustums
+                # instead of the +-10 m fallback (ARKit-style unbounded
+                # scans)
+                from simplerecon_tpu.fusion.fusers import \
+                    bounds_from_trajectory
+                trajectory = _scan_trajectory(dataset, scan)
+                if trajectory is not None:
+                    invK, hw = _scan_invK(dataset, scan)
+                    bounds = bounds_from_trajectory(
+                        trajectory, opts.fusion_max_depth,
+                        invK_44=invK, image_hw=hw)
+            fuser = get_fuser(opts, gt_mesh, bounds_3x2=bounds)
 
         model_times = []
         for batch in loader:

@@ -57,7 +57,10 @@ def main(opts: Options):
         # (`visualize_live_meshing.py:28-29`)
         loader = DataLoader(dataset, batch_size=1,
                             num_workers=opts.num_workers)
-        fuser = get_fuser(opts, "")
+        from simplerecon_tpu.scripts.test import _scan_trajectory
+        fuser = get_fuser(
+            opts, "", trajectory_world_T_cam=_scan_trajectory(dataset,
+                                                              scan))
         birdseye = SmoothBirdsEyeCamera()
 
         # reuse cached per-frame depths when available (the reference's

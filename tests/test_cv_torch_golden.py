@@ -217,7 +217,8 @@ def test_feature_volume_pallas_kernels_match_torch_replica():
 
     ref = None
     with jax.default_matmul_precision("highest"):
-        for backend in ("pallas_interpret", "pallas_v1_interpret"):
+        for backend in ("pallas_interpret", "pallas_full_interpret",
+                        "pallas_v1_interpret"):
             mod = MLPFeatureVolume(num_depth_bins=D, min_depth=MIN_D,
                                    max_depth=MAX_D, matching_dim_size=C,
                                    num_source_views=K, mlp_hidden=(16, 16),

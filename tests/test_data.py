@@ -208,3 +208,23 @@ def test_train_schema_matches_train_step_expectations(scannet_root):
                 "world_T_cam_b44", "cam_T_world_b44"):
         assert key in src, key
     assert "K_s0_b44" in src or "K_s0_bk44" in src
+
+
+def test_device_prefetch_preserves_batches(scannet_root):
+    """`device_prefetch` must yield the same batches in order, with
+    numeric leaves moved onto the device and non-array leaves intact."""
+    import jax
+
+    from simplerecon_tpu.data.loader import device_prefetch
+
+    ds = make_dataset(scannet_root, split="val")
+    dl = DataLoader(ds, batch_size=2, num_workers=2)
+    host = list(dl)
+    dev = list(device_prefetch(DataLoader(ds, batch_size=2,
+                                          num_workers=2), size=2))
+    assert len(dev) == len(host)
+    for hb, db in zip(host, dev):
+        assert isinstance(db["cur"]["image_b3hw"], jax.Array)
+        np.testing.assert_allclose(
+            np.asarray(db["cur"]["image_b3hw"]),
+            hb["cur"]["image_b3hw"], rtol=0, atol=0)

@@ -136,3 +136,48 @@ def test_our_fuser_color_end_to_end(tmp_path):
     with open(path, "rb") as f:
         header = f.read(400)
     assert b"red" in header and b"green" in header and b"blue" in header
+
+
+def test_bounds_from_trajectory_tracks_long_walk():
+    """An ARKit-style unbounded walkthrough must get a grid sized from
+    the camera path, not the reference's +-10 m (500^3 voxel) fallback
+    box (`/root/reference/tools/tsdf.py:96-100`)."""
+    from simplerecon_tpu.fusion.fusers import (OurFuser,
+                                               bounds_from_trajectory)
+
+    # 30 m corridor walk along +x at y=z~0
+    n = 60
+    poses = np.broadcast_to(np.eye(4, dtype=np.float32),
+                            (n, 4, 4)).copy()
+    poses[:, 0, 3] = np.linspace(0.0, 30.0, n)
+
+    bounds = bounds_from_trajectory(poses, max_fusion_depth=3.0)
+    # x spans the walk + frustum margin; y/z stay frustum-sized
+    assert bounds[0, 0] <= 0.0 and bounds[0, 1] >= 30.0
+    assert bounds[0, 1] - bounds[0, 0] < 45.0
+    assert bounds[1, 1] - bounds[1, 0] < 15.0
+    assert bounds[2, 1] - bounds[2, 0] < 15.0
+
+    # exact frustum bounds with intrinsics are tighter still
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 60.0
+    K[0, 2], K[1, 2] = 32.0, 24.0
+    tight = bounds_from_trajectory(poses, 3.0,
+                                   invK_44=np.linalg.inv(K),
+                                   image_hw=(48, 64))
+    assert tight[1, 1] - tight[1, 0] < bounds[1, 1] - bounds[1, 0]
+    # forward frustum only: little volume behind the cameras
+    assert tight[2, 0] > -1.0
+
+    # conservative (no-intrinsics) trajectory bounds via the fuser API
+    fuser = OurFuser(fusion_resolution=0.08, max_fusion_depth=3.0,
+                     trajectory_world_T_cam=poses)
+    dims = fuser.fuser.tsdf.dims
+    assert dims[0] > dims[1] and dims[0] > dims[2]
+    assert dims[1] < 200 and dims[2] < 200
+
+    # frustum-exact bounds: far below the 250^3 voxels the 0.08 m
+    # fallback box would allocate
+    fuser = OurFuser(fusion_resolution=0.08, max_fusion_depth=3.0,
+                     bounds_3x2=tight)
+    assert np.prod(fuser.fuser.tsdf.dims) < 0.15 * 250 ** 3

@@ -6,6 +6,7 @@ with ~2 TFLOP of dense matmuls (~6x faster end to end)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from simplerecon_tpu.ops import cost_volume as cv_ops
 
@@ -30,7 +31,8 @@ def _geometry(b, k, h, w):
     return ex, src_K, invK
 
 
-def test_matmul_warp_matches_gather_warp():
+@pytest.mark.parametrize("band_axis", ["x", "y"])
+def test_matmul_warp_matches_gather_warp(band_axis):
     b, k, h, w, c, d = 2, 3, 48, 64, 8, 16
     rng = np.random.RandomState(0)
     src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
@@ -40,7 +42,8 @@ def test_matmul_warp_matches_gather_warp():
     with jax.default_matmul_precision("highest"):
         wg = cv_ops.sweep_warp(src, ex, src_K, invK, planes,
                                backend="gather")
-        wm = cv_ops.sweep_warp_matmul(src, ex, src_K, invK, planes)
+        wm = cv_ops.sweep_warp_matmul(src, ex, src_K, invK, planes,
+                                      band_axis=band_axis)
 
     np.testing.assert_allclose(np.asarray(wm.sampled_bkdNc),
                                np.asarray(wg.sampled_bkdNc),
@@ -82,13 +85,16 @@ def test_matmul_warp_band_sizes_all_exact():
     with jax.default_matmul_precision("highest"):
         ref = cv_ops.sweep_warp(src, ex, src_K, invK, planes,
                                 backend="gather")
-        for band in (8, 16, 48, w):
-            got = cv_ops.sweep_warp_matmul(src, ex, src_K, invK, planes,
-                                           x_band=band)
-            np.testing.assert_allclose(np.asarray(got.sampled_bkdNc),
-                                       np.asarray(ref.sampled_bkdNc),
-                                       rtol=1e-4, atol=1e-4,
-                                       err_msg=f"band={band}")
+        for axis in ("x", "y"):
+            for band in (8, 16, 24, h if axis == "y" else w):
+                got = cv_ops.sweep_warp_matmul(src, ex, src_K, invK,
+                                               planes, x_band=band,
+                                               band_axis=axis)
+                np.testing.assert_allclose(
+                    np.asarray(got.sampled_bkdNc),
+                    np.asarray(ref.sampled_bkdNc),
+                    rtol=1e-4, atol=1e-4,
+                    err_msg=f"axis={axis} band={band}")
 
 
 def test_matmul_warp_mixed_batch_tiers_exact():
@@ -131,6 +137,87 @@ def test_matmul_warp_tile_sizes_all_exact():
                                        np.asarray(ref.sampled_bkdNc),
                                        rtol=1e-4, atol=1e-4,
                                        err_msg=f"tile={th}x{tw}")
+
+
+def _mlp_setup(rng, k, c, hidden=24):
+    from simplerecon_tpu.models.cost_volume import mlp_input_channels
+    c_in = mlp_input_channels(c, k)
+    w0 = jnp.asarray(rng.randn(c_in, hidden) * 0.2, jnp.float32)
+    b0 = jnp.asarray(rng.randn(hidden) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.randn(hidden, hidden) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.randn(hidden) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(hidden, 1) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.randn(1) * 0.1, jnp.float32)
+    return ((w0, b0), (w1, b1), (w2, b2))
+
+
+@pytest.mark.parametrize("band_axis", ["x", "y"])
+@pytest.mark.parametrize("wide_baseline", [False, True])
+def test_sweep_mlp_volume_custom_vjp_grad_parity(band_axis,
+                                                 wide_baseline):
+    """The hand-written VJP must reproduce autodiff's gradients for
+    src features, current features, and every MLP parameter — on both
+    the narrow-band tier and (wide_baseline) the exact full fallback."""
+    b, k, h, w, c, d = 2, 3, 24, 32, 8, 6
+    rng = np.random.RandomState(11)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
+    cur = jnp.asarray(rng.randn(b, h * w, c), jnp.float32)
+    ex, src_K, invK = _geometry(b, k, h, w)
+    if wide_baseline:
+        ex[..., 0, 3] = np.linspace(-2.0, 2.0, k)
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
+    penalty = jnp.asarray(rng.rand(b, k, 3), jnp.float32)
+    loc = jnp.asarray(rng.randn(b, k, 3) * 0.1, jnp.float32)
+    mlp = _mlp_setup(rng, k, c)
+    # fixed cotangent weighting so every output position matters
+    gw = jnp.asarray(rng.randn(b, d, h * w), jnp.float32)
+
+    def loss(src_, cur_, mlp_, custom):
+        vol = cv_ops.sweep_mlp_volume(
+            src_, cur_, ex, src_K, invK, planes, penalty, loc, mlp_,
+            compute_dtype=jnp.float32, band_axis=band_axis,
+            custom_vjp=custom)
+        return jnp.sum(vol * gw)
+
+    with jax.default_matmul_precision("highest"):
+        val_a, grads_a = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            src, cur, mlp, False)
+        val_c, grads_c = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            src, cur, mlp, True)
+
+    np.testing.assert_allclose(float(val_c), float(val_a), rtol=1e-5)
+    labels = ("d_src", "d_cur", "d_mlp")
+    for name, ga, gc in zip(labels, grads_a, grads_c):
+        ja = jax.tree_util.tree_leaves(ga)
+        jc = jax.tree_util.tree_leaves(gc)
+        for la, lc in zip(ja, jc):
+            scale = max(float(jnp.abs(la).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(lc), np.asarray(la), rtol=2e-4,
+                atol=2e-4 * scale, err_msg=name)
+
+
+def test_sweep_mlp_volume_custom_vjp_geometry_gets_zero_grads():
+    """Geometry args are data: the custom VJP must return (symbolic)
+    zero cotangents for extrinsics without error."""
+    b, k, h, w, c, d = 1, 2, 16, 16, 4, 4
+    rng = np.random.RandomState(2)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
+    cur = jnp.asarray(rng.randn(b, h * w, c), jnp.float32)
+    ex, src_K, invK = _geometry(b, k, h, w)
+    planes = cv_ops.generate_depth_planes(b, d, 0.25, 5.0)
+    penalty = jnp.asarray(rng.rand(b, k, 3), jnp.float32)
+    loc = jnp.zeros((b, k, 3), jnp.float32)
+    mlp = _mlp_setup(rng, k, c)
+
+    def loss(ex_):
+        vol = cv_ops.sweep_mlp_volume(
+            src, cur, ex_, src_K, invK, planes, penalty, loc, mlp,
+            compute_dtype=jnp.float32, custom_vjp=True)
+        return jnp.sum(vol)
+
+    g = jax.grad(loss)(jnp.asarray(ex))
+    assert float(jnp.abs(g).max()) == 0.0
 
 
 def test_matmul_warp_is_differentiable():
