@@ -223,14 +223,14 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
     # remat ablation knobs: BENCH_REMAT=0 keeps submodule activations,
     # BENCH_REMAT_CV=0 keeps cost-volume chunk activations
     clones = {}
-    if os.environ.get("BENCH_REMAT") == "0":
-        clones["remat_submodules"] = False
+    if os.environ.get("BENCH_REMAT") in ("0", "1"):
+        clones["remat_submodules"] = os.environ["BENCH_REMAT"] == "1"
     if os.environ.get("BENCH_REMAT_CV") == "0":
         clones["remat_cost_volume"] = False
-    # BENCH_CVJP=0: fall back to checkpointed-autodiff for the fused
-    # sweep's backward (A/B for the hand-written VJP)
-    if os.environ.get("BENCH_CVJP") == "0":
-        clones["cost_volume_custom_vjp"] = False
+    # BENCH_CVJP=1: hand-written VJP for the fused sweep's backward
+    # (A/B vs the default checkpointed autodiff)
+    if os.environ.get("BENCH_CVJP") in ("0", "1"):
+        clones["cost_volume_custom_vjp"] = os.environ["BENCH_CVJP"] == "1"
     if clones:
         model = model.clone(**clones)
     optimizer = make_optimizer(opts)

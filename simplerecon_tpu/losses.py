@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from simplerecon_tpu.ops import geometry as geo
 from simplerecon_tpu.ops import image as image_ops
-from simplerecon_tpu.ops.sampling import grid_sample, resize_nearest
+from simplerecon_tpu.ops.sampling import (resize_nearest,
+                                          sample_nearest_matmul)
 
 
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray,
@@ -103,8 +104,11 @@ def mv_depth_loss(depth_pred_bhw, cur_depth_bhw, src_depth_bkhw,
         # occlusion/validity from GT depth
         uv_gt, proj_gt = project_depths(cur_depth_bhw, src_K, src_E)
         scale = jnp.asarray([2.0 / w, 2.0 / h], jnp.float32)
-        sampled = grid_sample(src_depth_bkhw[:, i][..., None],
-                              uv_gt * scale - 1.0, mode="nearest")[..., 0]
+        # one-hot matmul sampler: 7 views x h*w nearest GATHERS dominated
+        # the loss cost on TPU (row-latency-bound); the matmul form is
+        # exact-parity and runs on the MXU (see sample_nearest_matmul)
+        sampled = sample_nearest_matmul(src_depth_bkhw[:, i][..., None],
+                                        uv_gt * scale - 1.0)[..., 0]
         valid = ((proj_gt < 1.05 * sampled) & (proj_gt > 0) & (sampled > 0))
 
         _, proj_pred = project_depths(depth_pred_bhw, src_K, src_E)

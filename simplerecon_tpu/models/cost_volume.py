@@ -172,8 +172,9 @@ class MLPFeatureVolume(nn.Module):
     # recomputes each scan step once and propagates cotangents only to
     # features + MLP weights — geometry is data (poses are never
     # trained, as in the reference). See `ops/cost_volume.py::
-    # _cvjp_builder`.
-    custom_vjp: bool = True
+    # _cvjp_builder`. Off by default: measured op-level parity with
+    # checkpointed autodiff but ~7% slower in the full train step.
+    custom_vjp: bool = False
     pallas_tile: int = 1024
     # 1-D f32 outputs need 1024-element tiles (Mosaic/XLA layout)
     pallas_warp_tile: int = 1024

@@ -471,20 +471,30 @@ def sweep_mlp_volume(src_feats_bkhwc: jnp.ndarray,
 
     b, k, h, w, c = src_feats_bkhwc.shape
     d = depth_planes_bd.shape[1]
-    n = h * w
     dtype = compute_dtype
-    f32 = jnp.float32
 
     th, tw, bands = _band_axis_config(h, w, band_axis, tile_h, tile_w,
                                       x_band)
+    prep = _fused_prep(src_feats_bkhwc, cur_bNc, src_extrinsics_bk44,
+                       src_Ks_bk44, cur_invK_b44, depth_planes_bd,
+                       dtype, th, tw, bands, band_axis)
+    return _fused_forward(prep, pose_penalty_bk3, src_cam_loc_bk3,
+                          mlp_params, (b, k, h, w, c, d), dtype,
+                          th, tw, tuple(bands), unroll, band_axis)
+
+
+def _fused_forward(prep: _FusedPrep, pose_penalty_bk3, src_cam_loc_bk3,
+                   mlp_params, dims, dtype, th, tw, bands, unroll,
+                   band_axis) -> jnp.ndarray:
+    """Scan body of the fused sweep, operating on a `_FusedPrep`."""
+    b, k, h, w, c, d = dims
+    n = h * w
+    f32 = jnp.float32
     T = th * tw
     S = (h // th) * (w // tw)
     contract_size = w if band_axis == "y" else h
     band_size = h if band_axis == "y" else w
 
-    prep = _fused_prep(src_feats_bkhwc, cur_bNc, src_extrinsics_bk44,
-                       src_Ks_bk44, cur_invK_b44, depth_planes_bd,
-                       dtype, th, tw, bands, band_axis)
     img_bkfX, u, v, z = prep.img_bkfX, prep.u, prep.v, prep.z
     rays_t, cur_t, plane_t = prep.rays_t, prep.cur_t, prep.plane_t
     offs, fits, zero_off = prep.offs, prep.fits, prep.zero_off
@@ -608,14 +618,38 @@ def _cvjp_builder(dtype_name: str, tile_h, tile_w, x_band, unroll: int,
 
     fused = jax.custom_vjp(primal)
 
-    def fwd(*args):
-        return primal(*args), args
+    def fwd(src_feats, cur_bNc, extr, Ks, invK, planes, penalty, loc,
+            w0, b0, w1, b1, w2, b2):
+        # compute the tiling/projection prep ONCE and pass it to the
+        # backward through the residuals (recomputing it in bwd costs a
+        # second round of big fp32 transposes; autodiff keeps the scan
+        # xs alive too, so this matches its memory footprint)
+        b, k, h, w, c = src_feats.shape
+        th, tw, bands = _band_axis_config(h, w, band_axis, tile_h,
+                                          tile_w, x_band)
+        prep = _fused_prep(src_feats, cur_bNc, extr, Ks, invK, planes,
+                           dtype, th, tw, bands, band_axis)
+        out = _fused_forward(prep, penalty, loc,
+                             ((w0, b0), (w1, b1), (w2, b2)),
+                             (b, k, h, w, c, planes.shape[1]), dtype,
+                             th, tw, tuple(bands), unroll, band_axis)
+        res = (prep, src_feats, cur_bNc, extr, Ks, invK,
+               planes, penalty, loc, w0, b0, w1, b1, w2, b2)
+        return out, res
 
     def bwd(res, g_bdN):
-        (src_feats, cur_bNc, extr, Ks, invK, planes, penalty, loc,
-         w0, b0, w1, b1, w2, b2) = res
-        b, k, h, w, c = src_feats.shape
+        (prep, src_feats, cur_bNc, extr, Ks, invK, planes, penalty,
+         loc, w0, b0, w1, b1, w2, b2) = res
+        src_dtype, cur_dtype = src_feats.dtype, cur_bNc.dtype
+        b, k = prep.u.shape[:2]
         d = planes.shape[1]
+        c = prep.cur_t.shape[-1]
+        if band_axis == "y":
+            w = prep.img_bkfX.shape[2]
+            h = prep.img_bkfX.shape[3] // c
+        else:
+            h = prep.img_bkfX.shape[2]
+            w = prep.img_bkfX.shape[3] // c
 
         th, tw, bands = _band_axis_config(h, w, band_axis, tile_h,
                                           tile_w, x_band)
@@ -623,9 +657,6 @@ def _cvjp_builder(dtype_name: str, tile_h, tile_w, x_band, unroll: int,
         S = (h // th) * (w // tw)
         contract_size = w if band_axis == "y" else h
         band_size = h if band_axis == "y" else w
-
-        prep = _fused_prep(src_feats, cur_bNc, extr, Ks, invK, planes,
-                           dtype, th, tw, bands, band_axis)
 
         # incoming cotangent, tiled to the scan's step order
         g = g_bdN.astype(f32).reshape(b, d, h // th, th, w // tw, tw)
@@ -810,8 +841,7 @@ def _cvjp_builder(dtype_name: str, tile_h, tile_w, x_band, unroll: int,
         zeros = (jnp.zeros_like(extr), jnp.zeros_like(Ks),
                  jnp.zeros_like(invK), jnp.zeros_like(planes),
                  jnp.zeros_like(penalty), jnp.zeros_like(loc))
-        return ((d_src.astype(src_feats.dtype),
-                 d_cur.astype(cur_bNc.dtype))
+        return ((d_src.astype(src_dtype), d_cur.astype(cur_dtype))
                 + zeros
                 + (d_w0.sum(0).astype(w0.dtype),
                    d_b0.sum(0).astype(b0.dtype),

@@ -263,8 +263,10 @@ def _banded_kernel(planes_ref, off_ref, pose_meta_ref, src_loc_ref,
 
     Ref shapes: planes (b, d) SMEM; off (b, k, d*S) int32 SMEM;
     pose_meta / src_loc (1, k, 3); img (1, k, h*c, w); u/v/z
-    (1, k, 1, T); cur (1, 1, c, T); rays (1, 1, 3, T); w0t (128, C_in),
-    w1t (128, 128), w2t (1, 128); out (1, 1, 1, T).
+    (1, 1, k, T) — step-major so the block's LAST TWO dims are (k, T),
+    satisfying Mosaic's (8, 128)-divisible-or-full rule; cur
+    (1, 1, c, T); rays (1, 1, 3, T); w0t (128, C_in), w1t (128, 128),
+    w2t (1, 128); out (1, 1, 1, T) over a (b, d*S, 1, T) array.
     """
     f32 = jnp.float32
     bi = pl.program_id(0)
@@ -284,9 +286,9 @@ def _banded_kernel(planes_ref, off_ref, pose_meta_ref, src_loc_ref,
     sr_list, angle_list = [], []
     for view in range(k):
         off_v = off_ref[bi, view, step]                # scalar (SMEM)
-        u = u_ref[0, view, 0]                          # (T,)
-        v = v_ref[0, view, 0]
-        z = z_ref[0, view, 0].astype(f32)
+        u = u_ref[0, 0, view]                          # (T,)
+        v = v_ref[0, 0, view]
+        z = z_ref[0, 0, view].astype(f32)
 
         sl = img_ref[0, view, pl.dslice(off_v * c, band * c), :]
         ohu_T = _twohot_T(u, w, tile).astype(wdtype)   # (w, T)
@@ -350,14 +352,14 @@ def _banded_call(img_bkXw, u, v, z, cur_bSCT, rays_bS3T, planes_bd,
             pl.BlockSpec((1, k, img_bkXw.shape[2], w),
                          lambda bi, di, si: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),              # img
-            pl.BlockSpec((1, k, 1, tile),
-                         lambda bi, di, si, S=S: (bi, 0, di * S + si, 0),
+            pl.BlockSpec((1, 1, k, tile),
+                         lambda bi, di, si, S=S: (bi, di * S + si, 0, 0),
                          memory_space=pltpu.VMEM),              # u
-            pl.BlockSpec((1, k, 1, tile),
-                         lambda bi, di, si, S=S: (bi, 0, di * S + si, 0),
+            pl.BlockSpec((1, 1, k, tile),
+                         lambda bi, di, si, S=S: (bi, di * S + si, 0, 0),
                          memory_space=pltpu.VMEM),              # v
-            pl.BlockSpec((1, k, 1, tile),
-                         lambda bi, di, si, S=S: (bi, 0, di * S + si, 0),
+            pl.BlockSpec((1, 1, k, tile),
+                         lambda bi, di, si, S=S: (bi, di * S + si, 0, 0),
                          memory_space=pltpu.VMEM),              # z
             pl.BlockSpec((1, 1, c, tile),
                          lambda bi, di, si: (bi, si, 0, 0),
@@ -372,9 +374,10 @@ def _banded_call(img_bkXw, u, v, z, cur_bSCT, rays_bS3T, planes_bd,
             pl.BlockSpec(memory_space=pltpu.VMEM),              # w2t
             pl.BlockSpec(memory_space=pltpu.VMEM),              # b2
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, tile),
-                               lambda bi, di, si: (bi, di, si, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, d, S, tile), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, tile),
+            lambda bi, di, si, S=S: (bi, di * S + si, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d * S, 1, tile), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -507,10 +510,16 @@ def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
     b1f = b1.astype(f32)
     b2f = b2.astype(f32)
 
+    # step-major coordinate layout: the pallas blocks' last two dims
+    # must be (k, T) (Mosaic (8,128)-divisible-or-full rule)
+    u_t = u.transpose(0, 2, 1, 3)                     # (b, d*S, k, T)
+    v_t = v.transpose(0, 2, 1, 3)
+    z_t = z.transpose(0, 2, 1, 3)
+
     def run(band, off_bkdS):
         return _banded_call(
-            img_bkXw, u, v, z, cur_bSCT, rays_bS3T, depth_planes_bd,
-            off_bkdS, pose_meta_bk3.astype(f32),
+            img_bkXw, u_t, v_t, z_t, cur_bSCT, rays_bS3T,
+            depth_planes_bd, off_bkdS, pose_meta_bk3.astype(f32),
             src_loc_bk3.astype(f32),
             w0t, b0f, w1t, b1f, w2t, b2f,
             b=b, k=k, c=c, d=d, S=S, w=w, band=band, tile=tile,
@@ -523,7 +532,7 @@ def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
                             lambda: run(band_list[i], offs[i]),
                             lambda: tiered(i + 1))
 
-    out = tiered(0)                                       # (b, d, S, T)
+    out = tiered(0)                                   # (b, d*S, 1, T)
     out = out.reshape(b, d, h // th, w // tw, th, tw)
     return out.transpose(0, 1, 2, 4, 3, 5).reshape(b, d, n)
 

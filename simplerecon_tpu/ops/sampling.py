@@ -87,6 +87,39 @@ def grid_sample(img_bhwc: jnp.ndarray, grid_bn2: jnp.ndarray,
     return out
 
 
+def sample_nearest_matmul(img_bhwc: jnp.ndarray, grid_bn2: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """`grid_sample(mode="nearest")` as one-hot MXU contractions.
+
+    TPU gathers are row-latency-bound (the motivation for the cost
+    volume's two-hot matmul warp, `ops/cost_volume.py`); this applies
+    the same transform to nearest sampling: a (n, h) one-hot row-select
+    matmul followed by a per-sample one-hot column reduce. Numerically
+    identical to the gather path (round-half-to-even, zeros padding) —
+    used by the multi-view depth loss, where 7 views x 49k samples of
+    gather dominated the loss cost at train time.
+    """
+    b, h, w, c = img_bhwc.shape
+    x = _unnormalize(grid_bn2[..., 0].astype(jnp.float32), w)
+    y = _unnormalize(grid_bn2[..., 1].astype(jnp.float32), h)
+    rx = jnp.round(x)
+    ry = jnp.round(y)
+
+    def one(img_hwc, rx_n, ry_n):
+        iota_h = jnp.arange(h, dtype=jnp.float32)
+        iota_w = jnp.arange(w, dtype=jnp.float32)
+        oh_y = (ry_n[:, None] == iota_h[None, :]).astype(img_hwc.dtype)
+        oh_x = (rx_n[:, None] == iota_w[None, :]).astype(img_hwc.dtype)
+        rows = jnp.einsum("nh,hX->nX", oh_y,
+                          img_hwc.reshape(h, w * c),
+                          preferred_element_type=jnp.float32)
+        rows = rows.reshape(-1, w, c)
+        return jnp.einsum("nw,nwc->nc", oh_x.astype(jnp.float32), rows)
+
+    out = jax.vmap(one)(img_bhwc, rx, ry)
+    return out.astype(img_bhwc.dtype)
+
+
 def grid_sample_2d(img_bhwc: jnp.ndarray, grid_bhw2: jnp.ndarray,
                    mode: str = "bilinear") -> jnp.ndarray:
     """grid_sample with an (b, h_out, w_out, 2) grid; returns

@@ -127,8 +127,13 @@ class Options:
     # hand-written VJP for the fused sweep's backward pass (xla_fused):
     # recompute-once backward with gradients to features + MLP weights
     # only (geometry/poses are data, never trained — reference
-    # semantics; see ops/cost_volume.py::_cvjp_builder)
-    cost_volume_custom_vjp: bool = True
+    # semantics; see ops/cost_volume.py::_cvjp_builder). Off: measured
+    # ~7% slower than checkpointed autodiff at the full-model level.
+    cost_volume_custom_vjp: bool = False
+    # rematerialize encoder/decoder submodules in the backward pass;
+    # off = ~83 ms/step faster at b16, fits in 16 GB (re-enable for
+    # larger per-chip batches)
+    remat_submodules: bool = False
 
     # --------------------------- visualization ----------------------------
     standard_fps: int = 30

@@ -100,8 +100,14 @@ def main():
             label = f"pallas tile=({th},{tw}) band={band}"
         else:
             spec = cfg
-            use_mlp = spec.startswith("mlp:")
-            if use_mlp:
+            use_grad = spec.startswith("grad:")      # fwd+bwd of the
+            if use_grad:                             # fused sweep
+                spec = spec[5:]
+            use_cvjp = spec.startswith("cvjp:")      # grad w/ custom VJP
+            if use_cvjp:
+                spec = spec[5:]
+            use_mlp = use_grad or use_cvjp or spec.startswith("mlp:")
+            if spec.startswith("mlp:"):
                 spec = spec[4:]
             axis = "y"
             if spec[:2] in ("x:", "y:"):
@@ -111,7 +117,25 @@ def main():
             th, tw, band = parts[:3]
             unroll = parts[3] if len(parts) > 3 else (2 if use_mlp else 1)
 
-            if use_mlp:
+            if use_grad or use_cvjp:
+                # fwd+bwd of the fused sweep: grads w.r.t. src features,
+                # cur features and MLP params (the training cost). The
+                # loss is nonlinear in src (dots -> MLP), so the chained
+                # perturbation cannot be hoisted.
+                def fn(s, th=th, tw=tw, band=band, unroll=unroll,
+                       axis=axis, custom=use_cvjp):
+                    def loss(s_, cur_, mlp_):
+                        return jnp.sum(cv_ops.sweep_mlp_volume(
+                            s_, cur_, ex, src_K, invK, planes, penalty,
+                            loc, mlp_, compute_dtype=jnp.bfloat16,
+                            tile_h=th, tile_w=tw, x_band=band,
+                            unroll=unroll, band_axis=axis,
+                            custom_vjp=custom).astype(jnp.float32))
+                    g = jax.grad(loss, argnums=(0, 1, 2))(
+                        s, cur_feats, mlp)
+                    return sum(jnp.sum(le.astype(jnp.float32))
+                               for le in jax.tree_util.tree_leaves(g))
+            elif use_mlp:
                 def fn(s, th=th, tw=tw, band=band, unroll=unroll,
                        axis=axis):
                     return cv_ops.sweep_mlp_volume(
@@ -125,7 +149,10 @@ def main():
                     return cv_ops.sweep_warp_matmul(
                         s, ex, src_K, invK, planes, tile_h=th, tile_w=tw,
                         x_band=band, unroll=unroll, band_axis=axis)
-            label = (f"{'mlp ' if use_mlp else ''}{axis}-band "
+            kind = ("cvjp " if use_cvjp else
+                    "grad " if use_grad else
+                    "mlp " if use_mlp else "")
+            label = (f"{kind}{axis}-band "
                      f"tile=({th},{tw}) band={band} u{unroll}")
 
         def make_chain(kk, fn=fn):

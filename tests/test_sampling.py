@@ -73,3 +73,18 @@ def test_upsample2x_matches_torch(rng):
     got = np.asarray(sampling.upsample2x(
         jnp.asarray(img.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-6)
+
+
+def test_sample_nearest_matmul_matches_gather(rng):
+    """The one-hot MXU nearest sampler must equal grid_sample
+    (mode='nearest') bit-for-bit, including out-of-range zeros and
+    round-half-to-even ties."""
+    img = jnp.asarray(rng.randn(2, 9, 13, 3).astype(np.float32))
+    grid = rng.uniform(-1.4, 1.4, (2, 57, 2)).astype(np.float32)
+    # exact .5 index-space ties to exercise round-half-to-even
+    grid[0, :4, 0] = (2 * (np.array([0.5, 1.5, 2.5, 3.5]) + 0.5)
+                      - 13) / 13
+    grid = jnp.asarray(grid)
+    want = sampling.grid_sample(img, grid, mode="nearest")
+    got = sampling.sample_nearest_matmul(img, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
