@@ -313,7 +313,10 @@ def bench_calibrate(k1: int, k2: int, repeats: int):
 
 
 def main():
-    backend = os.environ.get("BENCH_BACKEND", "xla_fused")
+    # inference default: the banded Pallas kernel (11.4 ms b1 / 10.7
+    # ms-per-frame b8 measured on v5e — ~2x the xla_fused scan, which
+    # remains the training path: pallas_call has no backward here)
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     mode = os.environ.get("BENCH_MODE", "infer")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     k1 = int(os.environ.get("BENCH_K1", "2"))

@@ -228,6 +228,14 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
     if dtype is None:
         dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" \
             else jnp.float32
+    backend = getattr(opts, "cost_volume_backend", "xla")
+    if getattr(opts, "fast_cost_volume", False) and \
+            backend.startswith("xla"):
+        # the reference's --fast_cost_volume (test.py:196-198) swaps in
+        # a faster inference-only cost volume; ours is the banded
+        # Pallas kernel (11.4 ms b1 vs 21.5 xla_fused on v5e).
+        # Inference-only: pallas_call has no backward pass here.
+        backend = "pallas"
     return DepthModel(
         image_height=opts.image_height,
         image_width=opts.image_width,
@@ -239,7 +247,7 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         model_num_views=opts.model_num_views,
         feature_volume_type=opts.feature_volume_type,
         matching_encoder_type=opts.matching_encoder_type,
-        cost_volume_backend=getattr(opts, "cost_volume_backend", "xla"),
+        cost_volume_backend=backend,
         cost_volume_band_axis=getattr(opts, "cost_volume_band_axis", "x"),
         cost_volume_custom_vjp=getattr(opts, "cost_volume_custom_vjp",
                                        False),

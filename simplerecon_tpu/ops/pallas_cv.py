@@ -231,8 +231,9 @@ def fused_feature_volume(sampled_kRc: jnp.ndarray,
 def _twohot_T(coord_t, size: int, tile: int):
     """Transposed tent two-hot: (size, T) bilinear tap weights for (T,)
     coords (same tap math as `ops.cost_volume._twohot`, channel-major)."""
-    iota = jax.lax.broadcasted_iota(jnp.float32, (size, tile), 0)
-    wgt = 1.0 - jnp.abs(coord_t[None, :] - iota)
+    # int32 iota then convert: Mosaic's tpu.iota only produces integers
+    iota = jax.lax.broadcasted_iota(jnp.int32, (size, tile), 0)
+    wgt = 1.0 - jnp.abs(coord_t[None, :] - iota.astype(jnp.float32))
     return jnp.maximum(wgt, 0.0)
 
 
@@ -404,8 +405,8 @@ def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
                                pose_meta_bk3: jnp.ndarray,
                                src_loc_bk3: jnp.ndarray,
                                w0, b0, w1, b1, w2, b2,
-                               tile_h: int = 8,
-                               tile_w: int = 64,
+                               tile_h: int = 4,
+                               tile_w: int = 128,
                                bands: Tuple[int, ...] = (16, 32),
                                interpret: bool = False) -> jnp.ndarray:
     """Y-banded fused warp+metadata+MLP — the Pallas analogue of
@@ -419,7 +420,9 @@ def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
     exactly like the XLA path: `lax.cond` picks the narrowest band that
     covers every tile's y-span, with an exact full-height fallback.
 
-    Narrow tiles (default 8 x 64) keep the y-span — tile_h plus
+    Narrow tiles (default 4 x 128, measured fastest on v5e: 3.6 ms for
+    the full hero sweep vs 4.8 at 8x64 and 11.5 at 8x128) keep the
+    y-span — tile_h plus
     epipolar tilt across tile_w columns — inside the 16-row band for
     typical motion; the per-cell overhead that makes many small steps
     expensive in the XLA scan is ~zero here.

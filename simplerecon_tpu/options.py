@@ -108,15 +108,17 @@ class Options:
     # params) — multi-chip serving; partial batches are padded
     data_parallel_eval: bool = False
     # the reference's --fast_cost_volume (/root/reference/test.py:196-198)
-    # swaps in a faster inference cost volume. Here the default XLA
-    # banded-matmul sweep IS the fastest measured path, so this flag is
-    # honored but changes nothing unless cost_volume_backend is also set.
+    # swaps in a faster inference-only cost volume: here the banded
+    # Pallas kernel (backend "pallas", 11.4 ms b1 / 10.7 ms-per-frame
+    # b8 vs 21.5 ms xla_fused on v5e). Inference only — the kernel has
+    # no backward; training keeps xla_fused.
     fast_cost_volume: bool = False
     # "xla_fused" (metadata+MLP fused into the banded warp scan;
-    # fastest measured for both inference and training — default) |
-    # "xla" (banded warp, chunked metadata assembly) | "pallas" (fully
-    # fused warp+metadata+MLP kernel) | "pallas_v1" (XLA warp sweep +
-    # fused metadata/MLP kernel)
+    # fastest differentiable path — training default) | "xla" (banded
+    # warp, chunked metadata assembly) | "pallas" (banded fused
+    # warp+metadata+MLP kernel; fastest inference, no backward) |
+    # "pallas_full" (round-2 full-width kernel) | "pallas_v1" (XLA warp
+    # sweep + fused metadata/MLP kernel)
     cost_volume_backend: str = "xla_fused"
     # which image axis the banded-matmul sweep bands: "x" (column
     # stripes, full-height contraction — fastest measured for the XLA
