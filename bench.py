@@ -228,9 +228,13 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
     if os.environ.get("BENCH_REMAT_CV") == "0":
         clones["remat_cost_volume"] = False
     # BENCH_CVJP=1: hand-written VJP for the fused sweep's backward
-    # (A/B vs the default checkpointed autodiff)
-    if os.environ.get("BENCH_CVJP") in ("0", "1"):
-        clones["cost_volume_custom_vjp"] = os.environ["BENCH_CVJP"] == "1"
+    # (A/B vs the default checkpointed autodiff); BENCH_CVJP=pallas:
+    # same backward but the primal runs through the banded Pallas
+    # kernel (fwd 3.6 ms vs 13.9 — op-level fwd+bwd 33.9 vs 42.5 ms)
+    if os.environ.get("BENCH_CVJP") in ("0", "1", "pallas"):
+        v = os.environ["BENCH_CVJP"]
+        clones["cost_volume_custom_vjp"] = (
+            "pallas" if v == "pallas" else v == "1")
     if clones:
         model = model.clone(**clones)
     optimizer = make_optimizer(opts)

@@ -70,12 +70,13 @@ class DepthModel(nn.Module):
     # kernel)
     cost_volume_backend: str = "xla"
     cost_volume_band_axis: str = "x"
-    # custom VJP for the fused sweep (see MLPFeatureVolume.custom_vjp).
-    # Measured on chip (b16 train step): op-level parity with
-    # checkpointed autodiff (30.0 vs 30.4 ms fwd+bwd at b1) but ~7%
-    # slower at the full-model level, so autodiff stays the default;
-    # kept as a parity-tested option.
-    cost_volume_custom_vjp: bool = False
+    # custom VJP for the fused sweep (see MLPFeatureVolume.custom_vjp):
+    # "pallas" (hand-written backward + banded-Pallas-kernel primal;
+    # b16 train step 1086 ms vs 1187 autodiff on one v5e) | True
+    # (hand-written backward, XLA forward) | False (checkpointed
+    # autodiff — the only GSPMD-partitionable choice, auto-selected by
+    # make_sharded_train_step on >1-device meshes).
+    cost_volume_custom_vjp: object = "pallas"
     # rematerialize the big submodules in the backward pass. OFF by
     # default: with the warp scan already per-step checkpointed, the
     # remaining activations fit at batch 16 on one 16 GB chip, and
@@ -104,7 +105,9 @@ class DepthModel(nn.Module):
             self.cost_volume = DotProductCostVolume(
                 num_depth_bins=self.matching_num_depth_bins,
                 min_depth=self.min_matching_depth,
-                max_depth=self.max_matching_depth, name="cost_volume")
+                max_depth=self.max_matching_depth,
+                backend=self.cost_volume_backend, dtype=self.dtype,
+                name="cost_volume")
         elif self.feature_volume_type == "mlp_feature_volume":
             self.cost_volume = MLPFeatureVolume(
                 num_depth_bins=self.matching_num_depth_bins,
@@ -229,6 +232,11 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" \
             else jnp.float32
     backend = getattr(opts, "cost_volume_backend", "xla")
+    cvjp = getattr(opts, "cost_volume_custom_vjp", "pallas")
+    if isinstance(cvjp, str) and cvjp.lower() in ("false", "0", "none",
+                                                  "true", "1"):
+        # CLI flags arrive as strings; YAML arrives typed
+        cvjp = cvjp.lower() in ("true", "1")
     if getattr(opts, "fast_cost_volume", False) and \
             backend.startswith("xla"):
         # the reference's --fast_cost_volume (test.py:196-198) swaps in
@@ -249,7 +257,6 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         matching_encoder_type=opts.matching_encoder_type,
         cost_volume_backend=backend,
         cost_volume_band_axis=getattr(opts, "cost_volume_band_axis", "x"),
-        cost_volume_custom_vjp=getattr(opts, "cost_volume_custom_vjp",
-                                       False),
+        cost_volume_custom_vjp=cvjp,
         remat_submodules=getattr(opts, "remat_submodules", False),
         dtype=dtype)

@@ -1,4 +1,12 @@
-"""Pallas TPU kernel: fused metadata-MLP reduction for the feature volume.
+"""Pallas TPU kernels: fused warp + metadata-MLP for the feature volume.
+
+Three generations live here; `banded_warp_feature_volume` (backend
+"pallas") is the production inference path — 3.6 ms for the full hero
+sweep (~51% MFU) vs 13.9 ms for the XLA banded scan, 11.4 ms b1 /
+10.7 ms-per-frame b8 full-model — and doubles as the custom-VJP primal
+for training. `fused_feature_volume` ("pallas_v1") and
+`fused_warp_feature_volume` ("pallas_full") are earlier full-width
+formulations kept as parity references.
 
 The hero cost volume's hot loop (`modules/cost_volume.py:967-1164` in the
 reference "fast" path) materializes, per (pixel, plane):
@@ -241,7 +249,7 @@ def _banded_kernel(planes_ref, off_ref, pose_meta_ref, src_loc_ref,
                    img_ref, u_ref, v_ref, z_ref, cur_ref, rays_ref,
                    w0t_ref, b0_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                    out_ref, *, k: int, c: int, d: int, S: int, w: int,
-                   band: int, tile: int):
+                   band: int, tile: int, mode: str = "mlp"):
     """One (batch, plane, tile) cell of the y-banded fused sweep.
 
     The TPU-shaped formulation of `ops.cost_volume.sweep_mlp_volume`'s
@@ -301,18 +309,28 @@ def _banded_kernel(planes_ref, off_ref, pose_meta_ref, src_loc_ref,
                             * ohv_T[:, None, :], axis=0)  # (c, T)
 
         mask = (z > 0).astype(f32)
-        loc = src_loc_ref[0, view].astype(f32)         # (3,)
-        v3 = world_T - loc[:, None]
-        inv_n = jax.lax.rsqrt(jnp.sum(v3 * v3, axis=0) + 1e-30)
-        sr = v3 * inv_n[None, :]
-
         sampled_list.append(sampled_T)
         mask_list.append(mask[None, :])
         z_list.append(z[None, :])
         dot_list.append((jnp.sum(sampled_T * cur_T, axis=0)
                          * mask)[None, :])
+        if mode != "mlp":
+            continue
+        loc = src_loc_ref[0, view].astype(f32)         # (3,)
+        v3 = world_T - loc[:, None]
+        inv_n = jax.lax.rsqrt(jnp.sum(v3 * v3, axis=0) + 1e-30)
+        sr = v3 * inv_n[None, :]
         sr_list.append(sr)
         angle_list.append(jnp.sum(rays_n * sr, axis=0)[None, :])
+
+    if mode == "dot":
+        # DotProductCostVolume reduction (`modules/cost_volume.py:
+        # 237-335`): masked dots summed over source views. Taps of
+        # off-image samples are identically zero (tent weights vanish),
+        # so masking by z>0 alone matches the gather path's
+        # in-bounds-AND-in-front mask.
+        out_ref[0, 0, 0, :] = sum(dl[0] for dl in dot_list)
+        return
 
     pose_rows = [jnp.full((1, tile), pose_meta_ref[0, view, j], f32)
                  for j in range(3) for view in range(k)]
@@ -336,10 +354,11 @@ def _banded_kernel(planes_ref, off_ref, pose_meta_ref, src_loc_ref,
 def _banded_call(img_bkXw, u, v, z, cur_bSCT, rays_bS3T, planes_bd,
                  off_bkdS, pose_meta_bk3, src_loc_bk3,
                  w0t, b0, w1t, b1, w2t, b2,
-                 *, b, k, c, d, S, w, band, tile, interpret):
+                 *, b, k, c, d, S, w, band, tile, interpret,
+                 mode: str = "mlp"):
     """pallas_call wrapper: full batch at one band tier, grid (b, d, S)."""
     kernel = functools.partial(_banded_kernel, k=k, c=c, d=d, S=S, w=w,
-                               band=band, tile=tile)
+                               band=band, tile=tile, mode=mode)
     out = pl.pallas_call(
         kernel,
         grid=(b, d, S),
@@ -395,7 +414,7 @@ def _banded_call(img_bkXw, u, v, z, cur_bSCT, rays_bS3T, planes_bd,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile_h", "tile_w", "bands",
-                                    "interpret"))
+                                    "interpret", "mode"))
 def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
                                cur_bNc: jnp.ndarray,
                                src_extrinsics_bk44: jnp.ndarray,
@@ -408,7 +427,8 @@ def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
                                tile_h: int = 4,
                                tile_w: int = 128,
                                bands: Tuple[int, ...] = (16, 32),
-                               interpret: bool = False) -> jnp.ndarray:
+                               interpret: bool = False,
+                               mode: str = "mlp") -> jnp.ndarray:
     """Y-banded fused warp+metadata+MLP — the Pallas analogue of
     `ops.cost_volume.sweep_mlp_volume` (band_axis="y" geometry).
 
@@ -526,7 +546,7 @@ def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
             src_loc_bk3.astype(f32),
             w0t, b0f, w1t, b1f, w2t, b2f,
             b=b, k=k, c=c, d=d, S=S, w=w, band=band, tile=tile,
-            interpret=interpret)
+            interpret=interpret, mode=mode)
 
     def tiered(i):
         if i == len(band_list):
@@ -699,3 +719,34 @@ def fused_warp_feature_volume(img_bkhW: jnp.ndarray,
       src_loc_bk3, img_bkhW, cur_bNc, rays_bN3, w0, b0, w1, b1, w2, b2)
 
     return out.reshape(b, d, N)
+
+
+def banded_warp_dot_volume(src_feats_bkhwc: jnp.ndarray,
+                           cur_bNc: jnp.ndarray,
+                           src_extrinsics_bk44: jnp.ndarray,
+                           src_Ks_bk44: jnp.ndarray,
+                           cur_invK_b44: jnp.ndarray,
+                           depth_planes_bd: jnp.ndarray,
+                           compute_dtype=jnp.bfloat16,
+                           tile_h: int = 4,
+                           tile_w: int = 128,
+                           bands: Tuple[int, ...] = (16, 32),
+                           interpret: bool = False) -> jnp.ndarray:
+    """Dot-product cost volume via the banded kernel (mode="dot").
+
+    The inference fast path for `DotProductCostVolume`
+    (`modules/cost_volume.py:237-335` reduction: masked dot products
+    summed over source views) — same banded two-hot warp as the MLP
+    kernel, with the metadata/MLP stage replaced by the in-register
+    masked-dot reduction. Returns (b, d, N) fp32.
+    """
+    b, k = src_feats_bkhwc.shape[:2]
+    dummy_w = jnp.zeros((1, 1), compute_dtype)
+    dummy_b = jnp.zeros((1,), jnp.float32)
+    zeros3 = jnp.zeros((b, k, 3), jnp.float32)
+    return banded_warp_feature_volume(
+        src_feats_bkhwc, cur_bNc, src_extrinsics_bk44, src_Ks_bk44,
+        cur_invK_b44, depth_planes_bd, zeros3, zeros3,
+        dummy_w, dummy_b, dummy_w, dummy_b, dummy_w, dummy_b,
+        tile_h=tile_h, tile_w=tile_w, bands=bands, interpret=interpret,
+        mode="dot")

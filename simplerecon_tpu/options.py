@@ -126,12 +126,17 @@ class Options:
     # epipolar tilt widens row-stripe y-spans and triples the scan step
     # count) | "y" (row stripes, full-width contraction)
     cost_volume_band_axis: str = "x"
-    # hand-written VJP for the fused sweep's backward pass (xla_fused):
-    # recompute-once backward with gradients to features + MLP weights
-    # only (geometry/poses are data, never trained — reference
-    # semantics; see ops/cost_volume.py::_cvjp_builder). Off: measured
-    # ~7% slower than checkpointed autodiff at the full-model level.
-    cost_volume_custom_vjp: bool = False
+    # VJP strategy for the fused sweep (xla_fused backend):
+    #   "pallas" (default) — hand-written backward (gradients to
+    #     features + MLP weights only; geometry/poses are data, never
+    #     trained — reference semantics) with the PRIMAL computed by
+    #     the banded Pallas kernel: b16 train step 1086 ms vs 1187
+    #     (autodiff) / ~1270 (XLA-forward VJP) on one v5e.
+    #   True — same hand-written backward, XLA-scan forward.
+    #   False — checkpointed autodiff.
+    # Multi-device meshes auto-fall back to False inside
+    # make_sharded_train_step (pallas_call has no GSPMD rule).
+    cost_volume_custom_vjp: object = "pallas"
     # rematerialize encoder/decoder submodules in the backward pass;
     # off = ~83 ms/step faster at b16, fits in 16 GB (re-enable for
     # larger per-chip batches)

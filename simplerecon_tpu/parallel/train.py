@@ -220,6 +220,15 @@ def make_sharded_train_step(model, optimizer, mesh,
     DDP-equivalent collective rides ICI."""
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)  # pytree-prefix: applies to every batch leaf
+    if (mesh.devices.size > 1
+            and getattr(model, "cost_volume_custom_vjp", False)
+            == "pallas"):
+        # pallas_call carries no GSPMD partitioning rule: under a
+        # >1-device jit the compiler would replicate the kernel,
+        # all-gathering the sharded batch. Checkpointed autodiff on
+        # the XLA scan partitions cleanly; the pallas-primal hybrid
+        # keeps its win on single-chip steps.
+        model = model.clone(cost_volume_custom_vjp=False)
     step = train_step_fn(model, optimizer)
     return jax.jit(
         step,

@@ -106,6 +106,10 @@ def main():
             use_cvjp = spec.startswith("cvjp:")      # grad w/ custom VJP
             if use_cvjp:
                 spec = spec[5:]
+            use_pjp = spec.startswith("pjp:")        # custom VJP with
+            if use_pjp:                              # pallas forward
+                spec = spec[4:]
+                use_cvjp = True
             use_mlp = use_grad or use_cvjp or spec.startswith("mlp:")
             if spec.startswith("mlp:"):
                 spec = spec[4:]
@@ -123,7 +127,8 @@ def main():
                 # loss is nonlinear in src (dots -> MLP), so the chained
                 # perturbation cannot be hoisted.
                 def fn(s, th=th, tw=tw, band=band, unroll=unroll,
-                       axis=axis, custom=use_cvjp):
+                       axis=axis,
+                       custom=("pallas" if use_pjp else use_cvjp)):
                     def loss(s_, cur_, mlp_):
                         return jnp.sum(cv_ops.sweep_mlp_volume(
                             s_, cur_, ex, src_K, invK, planes, penalty,
@@ -131,10 +136,14 @@ def main():
                             tile_h=th, tile_w=tw, x_band=band,
                             unroll=unroll, band_axis=axis,
                             custom_vjp=custom).astype(jnp.float32))
-                    g = jax.grad(loss, argnums=(0, 1, 2))(
+                    # value_and_grad, and the value feeds the result:
+                    # with grad() alone the primal output is dead and
+                    # XLA deletes the entire forward pass from the
+                    # timed program (bwd-only numbers)
+                    val, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
                         s, cur_feats, mlp)
-                    return sum(jnp.sum(le.astype(jnp.float32))
-                               for le in jax.tree_util.tree_leaves(g))
+                    return val + sum(jnp.sum(le.astype(jnp.float32))
+                                     for le in jax.tree_util.tree_leaves(g))
             elif use_mlp:
                 def fn(s, th=th, tw=tw, band=band, unroll=unroll,
                        axis=axis):
@@ -149,7 +158,8 @@ def main():
                     return cv_ops.sweep_warp_matmul(
                         s, ex, src_K, invK, planes, tile_h=th, tile_w=tw,
                         x_band=band, unroll=unroll, band_axis=axis)
-            kind = ("cvjp " if use_cvjp else
+            kind = ("pjp " if use_pjp else
+                    "cvjp " if use_cvjp else
                     "grad " if use_grad else
                     "mlp " if use_mlp else "")
             label = (f"{kind}{axis}-band "

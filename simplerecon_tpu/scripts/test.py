@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simplerecon_tpu.data.loader import DataLoader
+from simplerecon_tpu.data.loader import DataLoader, device_prefetch
 from simplerecon_tpu.data.registry import get_dataset
 from simplerecon_tpu.models.depth_model import build_depth_model
 from simplerecon_tpu.options import Options, OptionsHandler
@@ -204,13 +204,16 @@ def main(opts: Options):
             fuser = get_fuser(opts, gt_mesh, bounds_3x2=bounds)
 
         model_times = []
-        for batch in loader:
+        # double-buffered H2D: batch n+1 transfers while the model runs
+        # batch n (reference: pinned-memory non_blocking transfers,
+        # train.py:65-94)
+        for batch in device_prefetch(loader):
             cur, src = batch["cur"], batch["src"]
             b = cur["image_b3hw"].shape[0]
-            device_cur = {k: jnp.asarray(v) for k, v in cur.items()
-                          if isinstance(v, np.ndarray)}
-            device_src = {k: jnp.asarray(v) for k, v in src.items()
-                          if isinstance(v, np.ndarray)}
+            device_cur = {k: v for k, v in cur.items()
+                          if not isinstance(v, (list, str))}
+            device_src = {k: v for k, v in src.items()
+                          if not isinstance(v, (list, str))}
 
             t0 = time.perf_counter()
             outputs = forward(device_cur, device_src)

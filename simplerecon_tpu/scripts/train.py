@@ -27,7 +27,7 @@ from simplerecon_tpu.models.depth_model import build_depth_model
 from simplerecon_tpu.options import Options, OptionsHandler, \
     save_options_yaml
 from simplerecon_tpu.parallel import (make_mesh, make_optimizer,
-                                      make_sharded_train_step, shard_batch)
+                                      make_sharded_train_step)
 from simplerecon_tpu.parallel.train import (eval_step_fn, init_train_state,
                                             make_example_batch,
                                             make_lr_schedule)
@@ -150,12 +150,17 @@ def main(opts: Options):
     best_val_loss = float("inf")
     step = int(state.step)
     t_last = time.perf_counter()
+    from simplerecon_tpu.data.loader import device_prefetch
+    from simplerecon_tpu.parallel.mesh import batch_sharding
+    data_sharding = batch_sharding(mesh)
     while step < opts.max_steps:
-        for batch in train_loader:
+        # double-buffered H2D laid out on the mesh: batch n+1 transfers
+        # while the step runs batch n (reference train.py:65-94
+        # pinned-memory non_blocking equivalent)
+        for device_batch in device_prefetch(train_loader,
+                                            sharding=data_sharding):
             if step >= opts.max_steps:
                 break
-            device_batch = shard_batch(
-                jax.tree_util.tree_map(jnp.asarray, batch), mesh)
             # fresh per-step rng (the in-step flip additionally folds in
             # state.step; this decorrelates any future rng consumers too)
             state, metrics = train_step(state, device_batch,

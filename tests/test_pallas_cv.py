@@ -74,3 +74,26 @@ def test_pallas_tile_divides_pixels():
     vol_a, _ = run_volume("pallas_interpret", tile=256)
     vol_b, _ = run_volume("pallas_interpret", tile=512)
     np.testing.assert_allclose(vol_a, vol_b, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_dot_volume_matches_xla():
+    """Dot mode of the banded kernel vs the DotProductCostVolume XLA
+    reduction (masked dots summed over views)."""
+    from simplerecon_tpu.models.cost_volume import DotProductCostVolume
+
+    cur, src, extr, poses, Ks, invK = make_inputs()
+
+    def run(backend):
+        mod = DotProductCostVolume(num_depth_bins=4, backend=backend,
+                                   dtype=jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(0), cur, src, extr,
+                             poses, Ks, invK)
+        vol, lowest, _, _ = mod.apply(variables, cur, src, extr, poses,
+                                      Ks, invK)
+        return np.asarray(vol), np.asarray(lowest)
+
+    vol_xla, low_xla = run("xla")
+    vol_pl, low_pl = run("pallas_interpret")
+    assert vol_xla.shape == vol_pl.shape
+    np.testing.assert_allclose(vol_pl, vol_xla, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(low_pl, low_xla, rtol=1e-5, atol=1e-5)

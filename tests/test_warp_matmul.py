@@ -151,13 +151,16 @@ def _mlp_setup(rng, k, c, hidden=24):
     return ((w0, b0), (w1, b1), (w2, b2))
 
 
+@pytest.mark.parametrize("custom", [True, "pallas"])
 @pytest.mark.parametrize("band_axis", ["x", "y"])
 @pytest.mark.parametrize("wide_baseline", [False, True])
 def test_sweep_mlp_volume_custom_vjp_grad_parity(band_axis,
-                                                 wide_baseline):
+                                                 wide_baseline, custom):
     """The hand-written VJP must reproduce autodiff's gradients for
     src features, current features, and every MLP parameter — on both
-    the narrow-band tier and (wide_baseline) the exact full fallback."""
+    the narrow-band tier and (wide_baseline) the exact full fallback.
+    custom="pallas" additionally routes the primal through the banded
+    Pallas kernel (interpret mode here) — same value, same grads."""
     b, k, h, w, c, d = 2, 3, 24, 32, 8, 6
     rng = np.random.RandomState(11)
     src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
@@ -183,7 +186,7 @@ def test_sweep_mlp_volume_custom_vjp_grad_parity(band_axis,
         val_a, grads_a = jax.value_and_grad(loss, argnums=(0, 1, 2))(
             src, cur, mlp, False)
         val_c, grads_c = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-            src, cur, mlp, True)
+            src, cur, mlp, custom)
 
     np.testing.assert_allclose(float(val_c), float(val_a), rtol=1e-5)
     labels = ("d_src", "d_cur", "d_mlp")
