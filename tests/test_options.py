@@ -78,3 +78,32 @@ def test_shipped_configs_parse():
         model = build_depth_model(opts)
         assert model.feature_volume_type in ("mlp_feature_volume",
                                              "simple_cost_volume")
+
+
+def test_fast_cost_volume_maps_to_pallas_backend():
+    """--fast_cost_volume swaps in the banded Pallas kernel at build
+    time (the reference's inference-only fast path,
+    /root/reference/test.py:196-198); explicit non-xla backends win."""
+    from simplerecon_tpu.models.depth_model import build_depth_model
+    from simplerecon_tpu.options import Options
+
+    opts = Options()
+    assert build_depth_model(opts).cost_volume_backend == "xla_fused"
+    opts.fast_cost_volume = True
+    assert build_depth_model(opts).cost_volume_backend == "pallas"
+    opts.cost_volume_backend = "pallas_v1"
+    assert build_depth_model(opts).cost_volume_backend == "pallas_v1"
+
+
+def test_custom_vjp_cli_string_normalization():
+    """CLI delivers strings for the object-typed custom-vjp flag; build
+    must normalize boolish strings and pass 'pallas' through."""
+    from simplerecon_tpu.models.depth_model import build_depth_model
+    from simplerecon_tpu.options import Options
+
+    opts = Options()
+    for raw, want in (("false", False), ("0", False), ("true", True),
+                      ("1", True), ("pallas", "pallas"),
+                      (False, False), ("none", False)):
+        opts.cost_volume_custom_vjp = raw
+        assert build_depth_model(opts).cost_volume_custom_vjp == want, raw
