@@ -619,6 +619,46 @@ def _cvjp_builder(dtype_name: str, tile_h, tile_w, x_band, unroll: int,
 
     fused = jax.custom_vjp(primal)
 
+    if fwd_impl == "pallas_bwd":
+        # both passes are Pallas kernels: the banded fused forward and
+        # its hand-written backward (`pallas_cv.py::
+        # banded_warp_feature_volume_bwd`). Residuals are just the
+        # primal inputs — geometry/tiling prep is recomputed inside
+        # each kernel wrapper (cheap XLA, nothing large stored).
+        def fwd_pl(src_feats, cur_bNc, extr, Ks, invK, planes, penalty,
+                   loc, w0, b0, w1, b1, w2, b2):
+            from simplerecon_tpu.ops import pallas_cv
+            interp = jax.default_backend() != "tpu"
+            out = pallas_cv.banded_warp_feature_volume(
+                src_feats, cur_bNc, extr, Ks, invK, planes, penalty,
+                loc, w0.astype(dtype), b0, w1.astype(dtype), b1,
+                w2.astype(dtype), b2, interpret=interp)
+            return out, (src_feats, cur_bNc, extr, Ks, invK, planes,
+                         penalty, loc, w0, b0, w1, b1, w2, b2)
+
+        def bwd_pl(res, g_bdN):
+            (src_feats, cur_bNc, extr, Ks, invK, planes, penalty, loc,
+             w0, b0, w1, b1, w2, b2) = res
+            from simplerecon_tpu.ops import pallas_cv
+            interp = jax.default_backend() != "tpu"
+            (d_src, d_cur, d_w0, d_b0, d_w1, d_b1, d_w2,
+             d_b2) = pallas_cv.banded_warp_feature_volume_bwd(
+                src_feats, cur_bNc, extr, Ks, invK, planes, penalty,
+                loc, w0.astype(dtype), b0, w1.astype(dtype), b1,
+                w2.astype(dtype), b2, g_bdN, interpret=interp)
+            zeros = (jnp.zeros_like(extr), jnp.zeros_like(Ks),
+                     jnp.zeros_like(invK), jnp.zeros_like(planes),
+                     jnp.zeros_like(penalty), jnp.zeros_like(loc))
+            return ((d_src.astype(src_feats.dtype),
+                     d_cur.astype(cur_bNc.dtype))
+                    + zeros
+                    + (d_w0.astype(w0.dtype), d_b0.astype(b0.dtype),
+                       d_w1.astype(w1.dtype), d_b1.astype(b1.dtype),
+                       d_w2.astype(w2.dtype), d_b2.astype(b2.dtype)))
+
+        fused.defvjp(fwd_pl, bwd_pl)
+        return fused
+
     def fwd(src_feats, cur_bNc, extr, Ks, invK, planes, penalty, loc,
             w0, b0, w1, b1, w2, b2):
         # compute the tiling/projection prep ONCE and pass it to the

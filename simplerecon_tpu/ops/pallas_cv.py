@@ -412,6 +412,101 @@ def _banded_call(img_bkXw, u, v, z, cur_bSCT, rays_bS3T, planes_bd,
     return out
 
 
+def _banded_prep(src_feats_bkhwc, cur_bNc, src_Ks_bk44,
+                 src_extrinsics_bk44, cur_invK_b44, depth_planes_bd,
+                 dtype, tile_h: int, tile_w: int,
+                 bands: Tuple[int, ...]):
+    """XLA-side geometry/layout prep shared by the banded kernel's
+    forward and backward: projections, tile-major coordinates, band
+    tiers, channel-major operands. Returns a dict (see keys below)."""
+    import math
+
+    from simplerecon_tpu.ops import geometry as geo
+
+    b, k, h, w, c = src_feats_bkhwc.shape
+    d = depth_planes_bd.shape[1]
+    f32 = jnp.float32
+
+    th = tile_h
+    while h % th != 0:
+        th -= 1
+    tw = tile_w
+    while w % tw != 0:
+        tw -= 1
+    S = (h // th) * (w // tw)
+    tile = th * tw
+    band_list = [v for v in bands if v < h]
+
+    grid_N3 = geo.pixel_grid(h, w)
+    rays_bN3 = jnp.einsum("nj,bij->bni", grid_N3,
+                          cur_invK_b44[:, :3, :3].astype(f32))
+    world_bdN3 = rays_bN3[:, None] * depth_planes_bd[..., None, None]
+    uvz = geo.project_points(
+        world_bdN3[:, None],
+        src_Ks_bk44[:, :, None].astype(f32),
+        src_extrinsics_bk44[:, :, None].astype(f32))  # (b, k, d, N, 3)
+
+    # (b, k, d, N) -> (b, k, d*S, T) in tile-major order
+    def stripes(a_bkdN):
+        a = a_bkdN.reshape(b, k, d, h // th, th, w // tw, tw)
+        a = a.transpose(0, 1, 2, 3, 5, 4, 6)
+        return a.reshape(b, k, d * S, tile)
+
+    u = stripes(uvz[..., 0] - 0.5)
+    v = stripes(uvz[..., 1] - 0.5)
+    z = stripes(uvz[..., 2])
+
+    # per-(view, plane, tile) y span and tier fits. Band offsets are
+    # quantized so off*c lands on a sublane-tile boundary (granularity
+    # 16 rows for bf16, 8 for f32): q = 1 whenever c is a multiple of
+    # the granularity (the hero c = 16), else the band widens by q.
+    gran = 16 if dtype == jnp.bfloat16 else 8
+    q = gran // math.gcd(c, gran)
+    band_list = [bv + (q if q > 1 else 0) for bv in band_list]
+    band_list = [bv for bv in band_list if bv < h]
+
+    v0 = jnp.floor(v)
+    has_tap = (v > -1.0) & (v < h)
+    lo = jnp.min(jnp.where(has_tap, jnp.clip(v0, 0, h - 1), h - 1),
+                 axis=-1)
+    hi = jnp.max(jnp.where(has_tap, jnp.clip(v0 + 1, 0, h - 1), 0),
+                 axis=-1)
+    # tier choice is BATCH-WIDE (one pallas_call serves the whole batch;
+    # a single wide-motion element widens everyone's band — still exact)
+    offs = []
+    fits = []
+    for bv in band_list:
+        off_raw = jnp.clip(lo, 0, h - bv)
+        off_q = (off_raw.astype(jnp.int32) // q) * q
+        offs.append(off_q)
+        fits.append(jnp.all(hi - off_q <= bv - 1))
+    zero_off = jnp.zeros_like(lo, dtype=jnp.int32)
+
+    # channel-major operands
+    def tile_pix(a_bNe):
+        e = a_bNe.shape[-1]
+        a = a_bNe.reshape(b, h // th, th, w // tw, tw, e)
+        a = a.transpose(0, 1, 3, 2, 4, 5).reshape(b, S, tile, e)
+        return a.transpose(0, 1, 3, 2)               # (b, S, e, T)
+
+    # (y, c)-major rows over w columns: the y-band slice is a contiguous
+    # sublane slice at off*c (16-aligned for any off when c = 16)
+    img_bkXw = src_feats_bkhwc.transpose(0, 1, 2, 4, 3).reshape(
+        b, k, h * c, w).astype(dtype)
+    cur_bSCT = tile_pix(cur_bNc.astype(dtype))
+    rays_bS3T = tile_pix(rays_bN3)
+
+    # step-major coordinate layout: the pallas blocks' last two dims
+    # must be (k, T) (Mosaic (8,128)-divisible-or-full rule)
+    return dict(
+        img_bkXw=img_bkXw, cur_bSCT=cur_bSCT, rays_bS3T=rays_bS3T,
+        u_t=u.transpose(0, 2, 1, 3),                  # (b, d*S, k, T)
+        v_t=v.transpose(0, 2, 1, 3),
+        z_t=z.transpose(0, 2, 1, 3),
+        offs=offs, fits=fits, zero_off=zero_off, band_list=band_list,
+        th=th, tw=tw, S=S, tile=tile)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tile_h", "tile_w", "bands",
                                     "interpret", "mode"))
@@ -449,83 +544,17 @@ def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
 
     Returns (b, d, N) fp32 matching scores.
     """
-    from simplerecon_tpu.ops import geometry as geo
-
     b, k, h, w, c = src_feats_bkhwc.shape
     d = depth_planes_bd.shape[1]
     n = h * w
     f32 = jnp.float32
     dtype = w0.dtype
 
-    th = tile_h
-    while h % th != 0:
-        th -= 1
-    tw = tile_w
-    while w % tw != 0:
-        tw -= 1
-    S = (h // th) * (w // tw)
-    tile = th * tw
-    band_list = [v for v in bands if v < h]
+    p = _banded_prep(src_feats_bkhwc, cur_bNc, src_Ks_bk44,
+                     src_extrinsics_bk44, cur_invK_b44, depth_planes_bd,
+                     dtype, tile_h, tile_w, bands)
+    th, tw, S, tile = p["th"], p["tw"], p["S"], p["tile"]
 
-    grid_N3 = geo.pixel_grid(h, w)
-    rays_bN3 = jnp.einsum("nj,bij->bni", grid_N3,
-                          cur_invK_b44[:, :3, :3].astype(f32))
-    world_bdN3 = rays_bN3[:, None] * depth_planes_bd[..., None, None]
-    uvz = geo.project_points(
-        world_bdN3[:, None],
-        src_Ks_bk44[:, :, None].astype(f32),
-        src_extrinsics_bk44[:, :, None].astype(f32))  # (b, k, d, N, 3)
-
-    # (b, k, d, N) -> (b, k, d*S, T) in tile-major order
-    def stripes(a_bkdN):
-        a = a_bkdN.reshape(b, k, d, h // th, th, w // tw, tw)
-        a = a.transpose(0, 1, 2, 3, 5, 4, 6)
-        return a.reshape(b, k, d * S, tile)
-
-    u = stripes(uvz[..., 0] - 0.5)
-    v = stripes(uvz[..., 1] - 0.5)
-    z = stripes(uvz[..., 2])
-
-    # per-(view, plane, tile) y span and tier fits. Band offsets are
-    # quantized so off*c lands on a sublane-tile boundary (granularity
-    # 16 rows for bf16, 8 for f32): q = 1 whenever c is a multiple of
-    # the granularity (the hero c = 16), else the band widens by q.
-    import math
-    gran = 16 if dtype == jnp.bfloat16 else 8
-    q = gran // math.gcd(c, gran)
-    band_list = [bv + (q if q > 1 else 0) for bv in band_list]
-    band_list = [bv for bv in band_list if bv < h]
-
-    v0 = jnp.floor(v)
-    has_tap = (v > -1.0) & (v < h)
-    lo = jnp.min(jnp.where(has_tap, jnp.clip(v0, 0, h - 1), h - 1),
-                 axis=-1)
-    hi = jnp.max(jnp.where(has_tap, jnp.clip(v0 + 1, 0, h - 1), 0),
-                 axis=-1)
-    # tier choice is BATCH-WIDE (one pallas_call serves the whole batch;
-    # a single wide-motion element widens everyone's band — still exact)
-    offs = []
-    fits = []
-    for bv in band_list:
-        off_raw = jnp.clip(lo, 0, h - bv)
-        off_q = (off_raw.astype(jnp.int32) // q) * q
-        offs.append(off_q)
-        fits.append(jnp.all(hi - off_q <= bv - 1))
-    zero_off = jnp.zeros_like(lo, dtype=jnp.int32)
-
-    # channel-major operands
-    def tile_pix(a_bNe):
-        e = a_bNe.shape[-1]
-        a = a_bNe.reshape(b, h // th, th, w // tw, tw, e)
-        a = a.transpose(0, 1, 3, 2, 4, 5).reshape(b, S, tile, e)
-        return a.transpose(0, 1, 3, 2)               # (b, S, e, T)
-
-    # (y, c)-major rows over w columns: the y-band slice is a contiguous
-    # sublane slice at off*c (16-aligned for any off when c = 16)
-    img_bkXw = src_feats_bkhwc.transpose(0, 1, 2, 4, 3).reshape(
-        b, k, h * c, w).astype(dtype)
-    cur_bSCT = tile_pix(cur_bNc.astype(dtype))
-    rays_bS3T = tile_pix(rays_bN3)
     w0t = jnp.transpose(w0).astype(dtype)
     w1t = jnp.transpose(w1).astype(dtype)
     w2t = jnp.transpose(w2).astype(dtype)
@@ -533,26 +562,20 @@ def banded_warp_feature_volume(src_feats_bkhwc: jnp.ndarray,
     b1f = b1.astype(f32)
     b2f = b2.astype(f32)
 
-    # step-major coordinate layout: the pallas blocks' last two dims
-    # must be (k, T) (Mosaic (8,128)-divisible-or-full rule)
-    u_t = u.transpose(0, 2, 1, 3)                     # (b, d*S, k, T)
-    v_t = v.transpose(0, 2, 1, 3)
-    z_t = z.transpose(0, 2, 1, 3)
-
     def run(band, off_bkdS):
         return _banded_call(
-            img_bkXw, u_t, v_t, z_t, cur_bSCT, rays_bS3T,
-            depth_planes_bd, off_bkdS, pose_meta_bk3.astype(f32),
-            src_loc_bk3.astype(f32),
+            p["img_bkXw"], p["u_t"], p["v_t"], p["z_t"], p["cur_bSCT"],
+            p["rays_bS3T"], depth_planes_bd, off_bkdS,
+            pose_meta_bk3.astype(f32), src_loc_bk3.astype(f32),
             w0t, b0f, w1t, b1f, w2t, b2f,
             b=b, k=k, c=c, d=d, S=S, w=w, band=band, tile=tile,
             interpret=interpret, mode=mode)
 
     def tiered(i):
-        if i == len(band_list):
-            return run(h, zero_off)
-        return jax.lax.cond(fits[i],
-                            lambda: run(band_list[i], offs[i]),
+        if i == len(p["band_list"]):
+            return run(h, p["zero_off"])
+        return jax.lax.cond(p["fits"][i],
+                            lambda: run(p["band_list"][i], p["offs"][i]),
                             lambda: tiered(i + 1))
 
     out = tiered(0)                                   # (b, d*S, 1, T)
@@ -750,3 +773,351 @@ def banded_warp_dot_volume(src_feats_bkhwc: jnp.ndarray,
         dummy_w, dummy_b, dummy_w, dummy_b, dummy_w, dummy_b,
         tile_h=tile_h, tile_w=tile_w, bands=bands, interpret=interpret,
         mode="dot")
+
+
+def _banded_bwd_kernel(planes_ref, off_ref, pose_meta_ref, src_loc_ref,
+                       img_ref, u_ref, v_ref, z_ref, cur_ref, rays_ref,
+                       g_ref, w0t_ref, b0_ref, w1t_ref, b1_ref, w2t_ref,
+                       w0d_ref, w1d_ref, w2d_ref,
+                       d_img_ref, d_cur_ref, d_w0t_ref, d_b0_ref,
+                       d_w1t_ref, d_b1_ref, d_w2t_ref, d_b2_ref,
+                       *, k: int, c: int, d: int, S: int, w: int,
+                       band: int, tile: int):
+    """Backward of `_banded_kernel` (mode="mlp"), one grid cell.
+
+    Recomputes the cell's forward in VMEM (taps, metadata, MLP
+    pre-activations), then walks the cotangent back: MLP transposes,
+    the dot-product split, and the warp transpose — the transpose of a
+    two-hot contraction is a two-hot contraction, so d_img is one
+    (band*c, T) x (T, w) MXU matmul per view accumulated into a dynamic
+    sublane slice of the per-batch d_img block. Gradients flow ONLY to
+    features and MLP weights (mask/z/plane/angle/ray/pose channels are
+    geometry — reference training semantics, poses never receive
+    gradients). Grid is (b, S, d) with d innermost so the revisited
+    accumulator blocks (d_img, d_w* per batch element; d_cur per
+    (batch, tile)) see contiguous visits.
+    """
+    f32 = jnp.float32
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    di = pl.program_id(2)
+    step = di * S + si
+    plane = planes_ref[bi, di]
+    wdtype = w0t_ref.dtype
+    first_of_b = (si == 0) & (di == 0)
+
+    g_t = g_ref[0, 0, 0, :].astype(f32)                 # (T,)
+
+    # ---- recompute the forward cell ----
+    cur_T = cur_ref[0, 0].astype(f32)                   # (c, T)
+    rays0_T = rays_ref[0, 0].astype(f32)                # (3, T)
+    world_T = rays0_T * plane
+    inv_n0 = jax.lax.rsqrt(jnp.sum(rays0_T * rays0_T, axis=0) + 1e-30)
+    rays_n = rays0_T * inv_n0[None, :]
+
+    sampled_list, mask_list, z_list, dot_list = [], [], [], []
+    sr_list, angle_list = [], []
+    ohu_list, ohv_list, off_list = [], [], []
+    for view in range(k):
+        off_v = off_ref[bi, view, step]
+        u = u_ref[0, 0, view]
+        v = v_ref[0, 0, view]
+        z = z_ref[0, 0, view].astype(f32)
+
+        sl = img_ref[0, view, pl.dslice(off_v * c, band * c), :]
+        ohu_T = _twohot_T(u, w, tile).astype(wdtype)    # (w, T)
+        rows_T = jnp.dot(sl, ohu_T,
+                         preferred_element_type=f32)    # (band*c, T)
+        vo = v - off_v.astype(f32)
+        ohv_T = _twohot_T(vo, band, tile)               # (band, T)
+        sampled_T = jnp.sum(rows_T.reshape(band, c, tile)
+                            * ohv_T[:, None, :], axis=0)  # (c, T)
+
+        mask = (z > 0).astype(f32)
+        loc = src_loc_ref[0, view].astype(f32)
+        v3 = world_T - loc[:, None]
+        inv_n = jax.lax.rsqrt(jnp.sum(v3 * v3, axis=0) + 1e-30)
+        sr = v3 * inv_n[None, :]
+
+        sampled_list.append(sampled_T)
+        mask_list.append(mask[None, :])
+        z_list.append(z[None, :])
+        dot_list.append((jnp.sum(sampled_T * cur_T, axis=0)
+                         * mask)[None, :])
+        sr_list.append(sr)
+        angle_list.append(jnp.sum(rays_n * sr, axis=0)[None, :])
+        ohu_list.append(ohu_T)
+        ohv_list.append(ohv_T)
+        off_list.append(off_v)
+
+    pose_rows = [jnp.full((1, tile), pose_meta_ref[0, view, j], f32)
+                 for j in range(3) for view in range(k)]
+    feats_T = jnp.concatenate(
+        sampled_list + [cur_T] + mask_list + z_list
+        + [jnp.full((1, tile), plane, f32)] + dot_list + angle_list
+        + [rays_n] + sr_list + pose_rows, axis=0)       # (C_in, T)
+    feats_d = feats_T.astype(wdtype)
+
+    h0pre = jnp.dot(w0t_ref[...], feats_d,
+                    preferred_element_type=f32) + b0_ref[...][:, None]
+    h0 = jax.nn.leaky_relu(h0pre, negative_slope=0.01)
+    h0d = h0.astype(wdtype)
+    h1pre = jnp.dot(w1t_ref[...], h0d,
+                    preferred_element_type=f32) + b1_ref[...][:, None]
+    h1 = jax.nn.leaky_relu(h1pre, negative_slope=0.01)
+
+    # ---- MLP backward (all (128, T) channel-major) ----
+    w2col = w2t_ref[...].astype(f32)[0]                 # (128,)
+    d_h1 = w2col[:, None] * g_t[None, :]                # (128, T)
+    d_w2t_c = jnp.sum(h1 * g_t[None, :], axis=1)        # (128,)
+    d_b2_c = jnp.sum(g_t)
+    d_h1p = d_h1 * jnp.where(h1pre > 0, 1.0, 0.01)
+    d_h1pd = d_h1p.astype(wdtype)
+    d_h0 = jnp.dot(w1d_ref[...], d_h1pd,
+                   preferred_element_type=f32)          # (128, T)
+    d_w1t_c = jax.lax.dot_general(
+        d_h1pd, h0d, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                     # (out, in)
+    d_b1_c = jnp.sum(d_h1p, axis=1)
+    d_h0p = d_h0 * jnp.where(h0pre > 0, 1.0, 0.01)
+    d_h0pd = d_h0p.astype(wdtype)
+    d_feats = jnp.dot(w0d_ref[...], d_h0pd,
+                      preferred_element_type=f32)       # (C_in, T)
+    d_w0t_c = jax.lax.dot_general(
+        d_h0pd, feats_d, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                     # (128, C_in)
+    d_b0_c = jnp.sum(d_h0p, axis=1)
+
+    # ---- split d_feats: only feature channels carry gradient ----
+    d_cur_c = d_feats[k * c:k * c + c]                  # (c, T)
+    o_dot = k * c + c + 2 * k + 1
+    for view in range(k):
+        d_dot = (d_feats[o_dot + view]
+                 * mask_list[view][0])                  # (T,)
+        d_samp = (d_feats[view * c:(view + 1) * c]
+                  + d_dot[None, :] * cur_T)             # (c, T)
+        d_cur_c = d_cur_c + d_dot[None, :] * sampled_list[view]
+
+        # warp transpose: d_sl = (ohv x d_samp) @ ohu^T
+        d_rows = (ohv_list[view][:, None, :]
+                  * d_samp[None, :, :]).reshape(band * c, tile)
+        d_sl = jax.lax.dot_general(
+            d_rows.astype(wdtype), ohu_list[view],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                 # (band*c, w)
+        off_v = off_list[view]
+
+        @pl.when(first_of_b)
+        def _init_view(view=view):
+            d_img_ref[0, view] = jnp.zeros_like(d_img_ref[0, view])
+
+        d_img_ref[0, view, pl.dslice(off_v * c, band * c), :] = (
+            d_img_ref[0, view, pl.dslice(off_v * c, band * c), :]
+            + d_sl)
+
+    @pl.when(di == 0)
+    def _():
+        d_cur_ref[0, 0] = d_cur_c
+
+    @pl.when(di != 0)
+    def _():
+        d_cur_ref[0, 0] = d_cur_ref[0, 0] + d_cur_c
+
+    @pl.when(first_of_b)
+    def _():
+        d_w0t_ref[0] = d_w0t_c
+        d_b0_ref[0, 0] = d_b0_c
+        d_w1t_ref[0] = d_w1t_c
+        d_b1_ref[0, 0] = d_b1_c
+        d_w2t_ref[0, 0] = d_w2t_c
+        d_b2_ref[0, 0] = jnp.full((128,), d_b2_c, jnp.float32)
+
+    @pl.when(jnp.logical_not(first_of_b))
+    def _():
+        d_w0t_ref[0] = d_w0t_ref[0] + d_w0t_c
+        d_b0_ref[0, 0] = d_b0_ref[0, 0] + d_b0_c
+        d_w1t_ref[0] = d_w1t_ref[0] + d_w1t_c
+        d_b1_ref[0, 0] = d_b1_ref[0, 0] + d_b1_c
+        d_w2t_ref[0, 0] = d_w2t_ref[0, 0] + d_w2t_c
+        d_b2_ref[0, 0] = d_b2_ref[0, 0] + jnp.full((128,), d_b2_c,
+                                                   jnp.float32)
+
+
+def _banded_bwd_call(img_bkXw, u, v, z, cur_bSCT, rays_bS3T, g_bXT,
+                     planes_bd, off_bkdS, pose_meta_bk3, src_loc_bk3,
+                     w0t, b0, w1t, b1, w2t, w0d, w1d, w2d,
+                     *, b, k, c, d, S, w, band, tile, c_in,
+                     interpret):
+    """pallas_call wrapper for the backward: grid (b, S, d), d innermost
+    (contiguous revisits of every accumulator block)."""
+    X = img_bkXw.shape[2]
+    hid0 = w0t.shape[0]
+    hid1 = w1t.shape[0]
+    kernel = functools.partial(_banded_bwd_kernel, k=k, c=c, d=d, S=S,
+                               w=w, band=band, tile=tile)
+    flops_mlp = 2 * (c_in * hid0 + hid0 * hid1 + hid1)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, S, d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # off
+            pl.BlockSpec((1, k, 3), lambda bi, si, di: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),              # pose
+            pl.BlockSpec((1, k, 3), lambda bi, si, di: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),              # src loc
+            pl.BlockSpec((1, k, X, w),
+                         lambda bi, si, di: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),              # img
+            pl.BlockSpec((1, 1, k, tile),
+                         lambda bi, si, di, S=S: (bi, di * S + si, 0, 0),
+                         memory_space=pltpu.VMEM),              # u
+            pl.BlockSpec((1, 1, k, tile),
+                         lambda bi, si, di, S=S: (bi, di * S + si, 0, 0),
+                         memory_space=pltpu.VMEM),              # v
+            pl.BlockSpec((1, 1, k, tile),
+                         lambda bi, si, di, S=S: (bi, di * S + si, 0, 0),
+                         memory_space=pltpu.VMEM),              # z
+            pl.BlockSpec((1, 1, c, tile),
+                         lambda bi, si, di: (bi, si, 0, 0),
+                         memory_space=pltpu.VMEM),              # cur
+            pl.BlockSpec((1, 1, 3, tile),
+                         lambda bi, si, di: (bi, si, 0, 0),
+                         memory_space=pltpu.VMEM),              # rays
+            pl.BlockSpec((1, 1, 1, tile),
+                         lambda bi, si, di, S=S: (bi, di * S + si, 0, 0),
+                         memory_space=pltpu.VMEM),              # g
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w0t
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # b0
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w1t
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w2t
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w0d
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w1d
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # w2d
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, X, w),
+                         lambda bi, si, di: (bi, 0, 0, 0)),     # d_img
+            pl.BlockSpec((1, 1, c, tile),
+                         lambda bi, si, di: (bi, si, 0, 0)),    # d_cur
+            pl.BlockSpec((1, hid0, c_in),
+                         lambda bi, si, di: (bi, 0, 0)),        # d_w0t
+            pl.BlockSpec((1, 1, hid0),
+                         lambda bi, si, di: (bi, 0, 0)),        # d_b0
+            pl.BlockSpec((1, hid1, hid0),
+                         lambda bi, si, di: (bi, 0, 0)),        # d_w1t
+            pl.BlockSpec((1, 1, hid1),
+                         lambda bi, si, di: (bi, 0, 0)),        # d_b1
+            pl.BlockSpec((1, 1, hid1),
+                         lambda bi, si, di: (bi, 0, 0)),        # d_w2t
+            pl.BlockSpec((1, 1, 128),
+                         lambda bi, si, di: (bi, 0, 0)),        # d_b2
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, X, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, S, c, tile), jnp.float32),
+            jax.ShapeDtypeStruct((b, hid0, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, hid0), jnp.float32),
+            jax.ShapeDtypeStruct((b, hid1, hid0), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, hid1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, hid1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=b * d * S * tile * (3 * flops_mlp
+                                      + 6 * k * band * c * w // tile
+                                      * tile),
+            bytes_accessed=2 * img_bkXw.size * img_bkXw.dtype.itemsize
+            + 4 * b * k * d * S * tile * 4,
+            transcendentals=b * d * S * tile * k),
+    )(planes_bd, off_bkdS, pose_meta_bk3, src_loc_bk3, img_bkXw,
+      u, v, z, cur_bSCT, rays_bS3T, g_bXT,
+      w0t, b0, w1t, b1, w2t, w0d, w1d, w2d)
+    return outs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_h", "tile_w", "bands",
+                                    "interpret"))
+def banded_warp_feature_volume_bwd(src_feats_bkhwc: jnp.ndarray,
+                                   cur_bNc: jnp.ndarray,
+                                   src_extrinsics_bk44: jnp.ndarray,
+                                   src_Ks_bk44: jnp.ndarray,
+                                   cur_invK_b44: jnp.ndarray,
+                                   depth_planes_bd: jnp.ndarray,
+                                   pose_meta_bk3: jnp.ndarray,
+                                   src_loc_bk3: jnp.ndarray,
+                                   w0, b0, w1, b1, w2, b2,
+                                   g_bdN: jnp.ndarray,
+                                   tile_h: int = 4,
+                                   tile_w: int = 128,
+                                   bands: Tuple[int, ...] = (16, 32),
+                                   interpret: bool = False):
+    """Hand-written backward of the banded fused sweep as a Pallas
+    kernel: given the output cotangent g (b, d, N), returns
+    (d_src (b,k,h,w,c), d_cur (b,N,c), d_w0, d_b0, d_w1, d_b1, d_w2,
+    d_b2) — gradients w.r.t. features and MLP weights only (geometry is
+    data). Same tiering as the forward.
+    """
+    b, k, h, w, c = src_feats_bkhwc.shape
+    d = depth_planes_bd.shape[1]
+    f32 = jnp.float32
+    dtype = w0.dtype
+    c_in = w0.shape[0]
+
+    p = _banded_prep(src_feats_bkhwc, cur_bNc, src_Ks_bk44,
+                     src_extrinsics_bk44, cur_invK_b44, depth_planes_bd,
+                     dtype, tile_h, tile_w, bands)
+    th, tw, S, tile = p["th"], p["tw"], p["S"], p["tile"]
+
+    # cotangent in step-major tile order, (b, d*S, 1, T)
+    g = g_bdN.astype(f32).reshape(b, d, h // th, th, w // tw, tw)
+    g = g.transpose(0, 1, 2, 4, 3, 5).reshape(b, d * S, 1, tile)
+
+    w0t = jnp.transpose(w0).astype(dtype)
+    w1t = jnp.transpose(w1).astype(dtype)
+    w2t = jnp.transpose(w2).astype(dtype)
+    w0d = w0.astype(dtype)
+    w1d = w1.astype(dtype)
+    w2d = w2.astype(dtype)
+    b0f = b0.astype(f32)
+    b1f = b1.astype(f32)
+
+    def run(band, off_bkdS):
+        return _banded_bwd_call(
+            p["img_bkXw"], p["u_t"], p["v_t"], p["z_t"], p["cur_bSCT"],
+            p["rays_bS3T"], g, depth_planes_bd, off_bkdS,
+            pose_meta_bk3.astype(f32), src_loc_bk3.astype(f32),
+            w0t, b0f, w1t, b1f, w2t, w0d, w1d, w2d,
+            b=b, k=k, c=c, d=d, S=S, w=w, band=band, tile=tile,
+            c_in=c_in, interpret=interpret)
+
+    def tiered(i):
+        if i == len(p["band_list"]):
+            return run(h, p["zero_off"])
+        return jax.lax.cond(p["fits"][i],
+                            lambda: run(p["band_list"][i], p["offs"][i]),
+                            lambda: tiered(i + 1))
+
+    (d_img, d_cur_t, d_w0t, d_b0, d_w1t, d_b1, d_w2t, d_b2) = tiered(0)
+
+    # undo the (y, c)-major image layout: (b, k, h*c, w) -> (b,k,h,w,c)
+    d_src = d_img.reshape(b, k, h, c, w).transpose(0, 1, 2, 4, 3)
+
+    # un-tile d_cur: (b, S, c, T) -> (b, N, c)
+    d_cur = d_cur_t.transpose(0, 1, 3, 2).reshape(
+        b, h // th, w // tw, th, tw, c)
+    d_cur = d_cur.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * w, c)
+
+    d_w0 = jnp.sum(d_w0t, axis=0).T                    # (C_in, 128)
+    d_b0r = jnp.sum(d_b0, axis=0)[0]                   # (128,)
+    d_w1 = jnp.sum(d_w1t, axis=0).T
+    d_b1r = jnp.sum(d_b1, axis=0)[0]
+    d_w2 = jnp.sum(d_w2t, axis=0).reshape(w1.shape[1], 1)
+    d_b2r = jnp.sum(d_b2[:, 0, 0], axis=0).reshape(1)
+    return (d_src, d_cur, d_w0, d_b0r, d_w1, d_b1r, d_w2, d_b2r)

@@ -110,6 +110,10 @@ def main():
             if use_pjp:                              # pallas forward
                 spec = spec[4:]
                 use_cvjp = True
+            use_pbwd = spec.startswith("pbwd:")      # pallas fwd+bwd
+            if use_pbwd:                             # kernels
+                spec = spec[5:]
+                use_cvjp = True
             use_mlp = use_grad or use_cvjp or spec.startswith("mlp:")
             if spec.startswith("mlp:"):
                 spec = spec[4:]
@@ -128,7 +132,8 @@ def main():
                 # perturbation cannot be hoisted.
                 def fn(s, th=th, tw=tw, band=band, unroll=unroll,
                        axis=axis,
-                       custom=("pallas" if use_pjp else use_cvjp)):
+                       custom=("pallas_bwd" if use_pbwd else
+                               "pallas" if use_pjp else use_cvjp)):
                     def loss(s_, cur_, mlp_):
                         return jnp.sum(cv_ops.sweep_mlp_volume(
                             s_, cur_, ex, src_K, invK, planes, penalty,
@@ -158,7 +163,8 @@ def main():
                     return cv_ops.sweep_warp_matmul(
                         s, ex, src_K, invK, planes, tile_h=th, tile_w=tw,
                         x_band=band, unroll=unroll, band_axis=axis)
-            kind = ("pjp " if use_pjp else
+            kind = ("pbwd " if use_pbwd else
+                    "pjp " if use_pjp else
                     "cvjp " if use_cvjp else
                     "grad " if use_grad else
                     "mlp " if use_mlp else "")

@@ -151,7 +151,7 @@ def _mlp_setup(rng, k, c, hidden=24):
     return ((w0, b0), (w1, b1), (w2, b2))
 
 
-@pytest.mark.parametrize("custom", [True, "pallas"])
+@pytest.mark.parametrize("custom", [True, "pallas", "pallas_bwd"])
 @pytest.mark.parametrize("band_axis", ["x", "y"])
 @pytest.mark.parametrize("wide_baseline", [False, True])
 def test_sweep_mlp_volume_custom_vjp_grad_parity(band_axis,
