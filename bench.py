@@ -227,14 +227,16 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
         clones["remat_submodules"] = os.environ["BENCH_REMAT"] == "1"
     if os.environ.get("BENCH_REMAT_CV") == "0":
         clones["remat_cost_volume"] = False
-    # BENCH_CVJP=1: hand-written VJP for the fused sweep's backward
-    # (A/B vs the default checkpointed autodiff); BENCH_CVJP=pallas:
-    # same backward but the primal runs through the banded Pallas
-    # kernel (fwd 3.6 ms vs 13.9 — op-level fwd+bwd 33.9 vs 42.5 ms)
-    if os.environ.get("BENCH_CVJP") in ("0", "1", "pallas"):
+    # BENCH_CVJP ablation knob for the fused sweep's backward:
+    # 0 = checkpointed autodiff, 1 = hand-written XLA VJP,
+    # pallas = Pallas-kernel primal + XLA backward, pallas_bwd =
+    # both passes as Pallas kernels (default; b16 step 630 ms vs
+    # 1086 pallas / 1187 autodiff)
+    if os.environ.get("BENCH_CVJP") in ("0", "1", "pallas",
+                                         "pallas_bwd"):
         v = os.environ["BENCH_CVJP"]
         clones["cost_volume_custom_vjp"] = (
-            "pallas" if v == "pallas" else v == "1")
+            v if v.startswith("pallas") else v == "1")
     if clones:
         model = model.clone(**clones)
     optimizer = make_optimizer(opts)

@@ -71,12 +71,13 @@ class DepthModel(nn.Module):
     cost_volume_backend: str = "xla"
     cost_volume_band_axis: str = "x"
     # custom VJP for the fused sweep (see MLPFeatureVolume.custom_vjp):
-    # "pallas" (hand-written backward + banded-Pallas-kernel primal;
-    # b16 train step 1086 ms vs 1187 autodiff on one v5e) | True
-    # (hand-written backward, XLA forward) | False (checkpointed
-    # autodiff — the only GSPMD-partitionable choice, auto-selected by
-    # make_sharded_train_step on >1-device meshes).
-    cost_volume_custom_vjp: object = "pallas"
+    # "pallas_bwd" (fwd AND bwd as banded Pallas kernels — fastest and
+    # the most accurate bf16 gradients, fp32 in-kernel accumulation) |
+    # "pallas" (kernel primal + hand-written XLA backward) | True
+    # (hand-written XLA backward, XLA forward) | False (checkpointed
+    # autodiff — GSPMD-partitionable; the pallas variants run under
+    # shard_map on >1-device meshes, see make_sharded_train_step).
+    cost_volume_custom_vjp: object = "pallas_bwd"
     # rematerialize the big submodules in the backward pass. OFF by
     # default: with the warp scan already per-step checkpointed, the
     # remaining activations fit at batch 16 on one 16 GB chip, and
@@ -232,7 +233,7 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" \
             else jnp.float32
     backend = getattr(opts, "cost_volume_backend", "xla")
-    cvjp = getattr(opts, "cost_volume_custom_vjp", "pallas")
+    cvjp = getattr(opts, "cost_volume_custom_vjp", "pallas_bwd")
     if isinstance(cvjp, str) and cvjp.lower() in ("false", "0", "none",
                                                   "true", "1"):
         # CLI flags arrive as strings; YAML arrives typed

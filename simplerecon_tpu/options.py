@@ -126,17 +126,23 @@ class Options:
     # epipolar tilt widens row-stripe y-spans and triples the scan step
     # count) | "y" (row stripes, full-width contraction)
     cost_volume_band_axis: str = "x"
-    # VJP strategy for the fused sweep (xla_fused backend):
-    #   "pallas" (default) — hand-written backward (gradients to
-    #     features + MLP weights only; geometry/poses are data, never
-    #     trained — reference semantics) with the PRIMAL computed by
-    #     the banded Pallas kernel: b16 train step 1086 ms vs 1187
-    #     (autodiff) / ~1270 (XLA-forward VJP) on one v5e.
-    #   True — same hand-written backward, XLA-scan forward.
-    #   False — checkpointed autodiff.
-    # Multi-device meshes auto-fall back to False inside
-    # make_sharded_train_step (pallas_call has no GSPMD rule).
-    cost_volume_custom_vjp: object = "pallas"
+    # VJP strategy for the fused sweep (xla_fused backend). Gradients
+    # flow to features + MLP weights only; geometry/poses are data,
+    # never trained — reference semantics.
+    #   "pallas_bwd" (default) — BOTH passes are banded Pallas kernels
+    #     (fwd + hand-written transpose-contraction bwd): op-level
+    #     fwd+bwd 10.6 ms vs 60 ms for "pallas" at the same config,
+    #     and bf16 gradients 20x closer to the fp32 reference than
+    #     autodiff's (fp32 in-kernel accumulation of the
+    #     cancellation-heavy weight-grad sums: 1.1% vs 21% worst-leaf
+    #     error on hero shapes).
+    #   "pallas" — banded-Pallas-kernel primal, hand-written XLA
+    #     backward.
+    #   True — hand-written XLA backward, XLA-scan forward.
+    #   False — checkpointed autodiff (pure XLA).
+    # Multi-device meshes run the pallas variants under shard_map
+    # (make_sharded_train_step) — pallas_call has no GSPMD rule.
+    cost_volume_custom_vjp: object = "pallas_bwd"
     # rematerialize encoder/decoder submodules in the backward pass;
     # off = ~83 ms/step faster at b16, fits in 16 GB (re-enable for
     # larger per-chip batches)

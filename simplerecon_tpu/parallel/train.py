@@ -200,13 +200,30 @@ def eval_step_fn(model) -> Callable:
 
 def make_sharded_forward(model, variables, mesh) -> Callable:
     """Batch-sharded inference: replicated params, batch split over the
-    `data` axis — production serving over all chips in one jitted call."""
+    `data` axis — production serving over all chips in one jitted call.
+
+    When the model's cost volume runs the Pallas kernel, the forward is
+    wrapped in `shard_map` instead of relying on GSPMD propagation:
+    `pallas_call` carries no partitioning rule, so under a plain
+    >1-device jit the compiler would all-gather the batch and replicate
+    the kernel. Inside `shard_map` each device runs the kernel on its
+    local batch shard — the single-chip kernel win scales linearly."""
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
 
     def forward(variables, cur_data, src_data):
         return model.apply(variables, cur_data, src_data, flip=False,
                            train=False, return_mask=True)
+
+    uses_pallas = str(getattr(model, "cost_volume_backend",
+                              "")).startswith("pallas")
+    if mesh.devices.size > 1 and uses_pallas:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[-1]
+        forward = shard_map(forward, mesh=mesh,
+                            in_specs=(P(), P(axis), P(axis)),
+                            out_specs=P(axis), check_rep=False)
 
     fn = jax.jit(forward, in_shardings=(rep, data, data),
                  out_shardings=data)
@@ -216,22 +233,96 @@ def make_sharded_forward(model, variables, mesh) -> Callable:
 def make_sharded_train_step(model, optimizer, mesh,
                             donate: bool = True) -> Callable:
     """Jits the train step over the mesh: replicated state, batch-sharded
-    data. XLA inserts the gradient `psum` over the `data` axis — the
-    DDP-equivalent collective rides ICI."""
+    data — the DDP-equivalent collective rides ICI.
+
+    Two compilation strategies, picked automatically:
+
+      * GSPMD (default): one jitted program; XLA's sharding propagation
+        inserts the gradient `psum`. Exact global-batch semantics
+        (masked loss means are over the FULL batch).
+      * `shard_map` (when the cost volume uses the Pallas custom VJP on
+        a >1-device mesh): `pallas_call` carries no GSPMD partitioning
+        rule, so plain jit would all-gather the sharded batch and
+        replicate the kernel. `shard_map` runs the kernel per device on
+        the local shard and `pmean`s gradients/metrics/batch-stats
+        explicitly — the reference's DDP semantics exactly (torch DDP
+        averages per-device losses and never synchronizes BatchNorm,
+        `/root/reference/train.py:124-145`; our pmean of running stats
+        is strictly tighter than DDP's unsynced per-device stats).
+    """
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)  # pytree-prefix: applies to every batch leaf
     if (mesh.devices.size > 1
-            and getattr(model, "cost_volume_custom_vjp", False)
-            == "pallas"):
-        # pallas_call carries no GSPMD partitioning rule: under a
-        # >1-device jit the compiler would replicate the kernel,
-        # all-gathering the sharded batch. Checkpointed autodiff on
-        # the XLA scan partitions cleanly; the pallas-primal hybrid
-        # keeps its win on single-chip steps.
-        model = model.clone(cost_volume_custom_vjp=False)
+            and str(getattr(model, "cost_volume_custom_vjp", False)
+                     ).startswith("pallas")):
+        return _make_shardmap_train_step(model, optimizer, mesh, donate)
     step = train_step_fn(model, optimizer)
     return jax.jit(
         step,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else ())
+
+
+def _make_shardmap_train_step(model, optimizer, mesh,
+                              donate: bool = True,
+                              force_kernels: bool = False) -> Callable:
+    """DDP train step as an explicit-collective `shard_map` program.
+
+    Per-device: forward + backward on the local batch shard (the Pallas
+    fused-sweep kernels run per device — no GSPMD rule needed), then
+    `pmean` over the `data` axis for gradients, loss metrics, and
+    BatchNorm running stats. Params/optimizer state stay replicated, so
+    the update is computed identically on every device (no broadcast).
+
+    Semantics note: per-shard masked loss means are averaged across
+    devices (mean-of-means), which equals the global masked mean when
+    shards carry equal valid-pixel counts and matches torch DDP's
+    loss averaging otherwise."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[-1]
+    if jax.default_backend() != "tpu" and not force_kernels:
+        # Virtual CPU meshes (tests, driver dryrun) validate the
+        # shard_map + pmean structure; interpret-mode Pallas at full
+        # grid sizes is a compile-time hazard on 1-core hosts, so the
+        # per-device compute falls back to checkpointed autodiff there.
+        # Real TPU meshes keep the kernels. The combination (shard_map
+        # + interpret kernels) is covered at tiny shapes by
+        # tests/test_train_parallel.py::test_shardmap_pallas_kernel.
+        model = model.clone(cost_volume_custom_vjp=False)
+
+    def local_step(state: TrainState, batch, rng):
+        flip = jax.random.bernoulli(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            loss_dict, _, new_stats = _forward_and_losses(
+                model, params, state.batch_stats, batch, flip, train=True)
+            return loss_dict["loss"], (loss_dict, new_stats)
+
+        grads, (loss_dict, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        loss_dict = jax.lax.pmean(loss_dict, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in loss_dict.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        return new_state, metrics
+
+    smapped = shard_map(local_step, mesh=mesh,
+                        in_specs=(P(), P(axis), P()),
+                        out_specs=(P(), P()), check_rep=False)
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        smapped,
         in_shardings=(rep, data, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else ())
