@@ -1,4 +1,15 @@
-"""On-chip: pallas_bwd vs autodiff, fp32 + bf16-vs-f32-truth analysis."""
+"""On-chip gradient-accuracy parity: pallas_bwd vs autodiff.
+
+Evidence script for the STATUS.md claim that the fused sweep's Pallas
+backward kernel produces bf16 gradients ~20x closer to the fp32 truth
+than bf16 XLA autodiff (fp32 in-kernel accumulation preserves the
+cancellation-heavy MLP weight-grad sums). Run on the real TPU:
+
+    python -m simplerecon_tpu.scripts.parity_pallas_bwd
+
+Prints the f32 pallas_bwd-vs-autodiff parity plus both bf16 paths'
+worst-leaf relative error against the f32 reference.
+"""
 import jax, jax.numpy as jnp, numpy as np
 from simplerecon_tpu.ops import cost_volume as cv_ops
 

@@ -147,6 +147,54 @@ def _resize_nearest_np(img_hwc: np.ndarray, h: int, w: int) -> np.ndarray:
     return img_hwc[ri][:, ci]
 
 
+def _conv2_same_np(x_hw: np.ndarray, k: np.ndarray,
+                   pad_mode: str) -> np.ndarray:
+    """Tiny same-size 2D correlation for host-side viz (no scipy)."""
+    kh, kw = k.shape
+    ph, pw = kh // 2, kw // 2
+    xp = np.pad(x_hw, ((ph, ph), (pw, pw)),
+                mode="reflect" if pad_mode == "reflect" else "edge")
+    out = np.zeros_like(x_hw, dtype=np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            out += k[i, j] * xp[i:i + x_hw.shape[0], j:j + x_hw.shape[1]]
+    return out
+
+
+def normals_from_depth_np(depth_hw: np.ndarray, invK_44: np.ndarray,
+                          kernel_size: int = 5,
+                          sigma: float = 2.0) -> np.ndarray:
+    """Host-side numpy mirror of `ops.geometry.normals_from_depth`
+    (gaussian blur -> backproject (+0.5 centers) -> Sobel/8 gradients ->
+    cross -> normalize), for visualization scripts that should not touch
+    the accelerator. Reference: `utils/geometry_utils.py:92-133`.
+
+    Returns (h, w, 3) unit normals (NaN where depth is NaN)."""
+    h, w = depth_hw.shape
+    ax = np.arange(kernel_size, dtype=np.float32) - (kernel_size - 1) / 2
+    g1 = np.exp(-0.5 * (ax / sigma) ** 2)
+    g1 /= g1.sum()
+    g2 = np.outer(g1, g1)
+    depth = _conv2_same_np(np.asarray(depth_hw, np.float32), g2, "reflect")
+
+    xs = np.arange(w, dtype=np.float32) + 0.5
+    ys = np.arange(h, dtype=np.float32) + 0.5
+    xx, yy = np.meshgrid(xs, ys)
+    pix = np.stack([xx, yy, np.ones_like(xx)], -1)          # (h, w, 3)
+    rays = pix @ np.asarray(invK_44, np.float32)[:3, :3].T
+    points = rays * depth[..., None]                        # (h, w, 3)
+
+    sobel_x = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]],
+                       np.float32) / 8.0
+    gx = np.stack([_conv2_same_np(points[..., c], sobel_x, "edge")
+                   for c in range(3)], -1)
+    gy = np.stack([_conv2_same_np(points[..., c], sobel_x.T, "edge")
+                   for c in range(3)], -1)
+    n = np.cross(gx, gy)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.maximum(norm, 1e-12)
+
+
 def build_image_panels(cur_data: Dict, outputs: Dict,
                        max_items: int = 4) -> np.ndarray:
     """Validation image panels, the reference's primary debugging view
