@@ -62,6 +62,21 @@ def make_hybrid_mesh(ici_axis_size: int, dcn_axis_size: int,
                 tuple(axis_names))
 
 
+def shard_map_nocheck(f, mesh: Mesh, in_specs, out_specs):
+    """`shard_map` across jax versions, with replication checking off.
+
+    jax >= 0.8 promotes `shard_map` to the top level (keyword-only, the
+    check flag renamed `check_rep` -> `check_vma`) and emits a
+    DeprecationWarning for `jax.experimental.shard_map`; older releases
+    only have the experimental module."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map  # pragma: no cover
+    return shard_map(f, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_rep=False)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding that splits the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -20,6 +20,7 @@ resolution (half the input image), as the reference's dataloader provides.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -31,7 +32,10 @@ import optax
 from simplerecon_tpu import losses as loss_lib
 from simplerecon_tpu.ops import geometry as geo
 from simplerecon_tpu.parallel.mesh import (batch_sharding,
-                                           replicated_sharding)
+                                           replicated_sharding,
+                                           shard_map_nocheck)
+
+logger = logging.getLogger(__name__)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -218,12 +222,29 @@ def make_sharded_forward(model, variables, mesh) -> Callable:
     uses_pallas = str(getattr(model, "cost_volume_backend",
                               "")).startswith("pallas")
     if mesh.devices.size > 1 and uses_pallas:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        if jax.default_backend() != "tpu":
+            # Mirror the train path's fallback: interpret-mode Pallas at
+            # full grid sizes per shard is a compile hazard on 1-core
+            # virtual-mesh hosts — keep the shard_map program structure
+            # but compute with the XLA fused backend per shard.
+            model = model.clone(cost_volume_backend="xla_fused")
+            logger.info("sharded forward: shard_map, pallas->xla_fused "
+                        "fallback (non-TPU backend)")
+        else:
+            logger.info("sharded forward: shard_map with per-device "
+                        "Pallas kernels")
+
+        def forward(variables, cur_data, src_data, _model=model):
+            return _model.apply(variables, cur_data, src_data, flip=False,
+                                train=False, return_mask=True)
+
         axis = mesh.axis_names[-1]
-        forward = shard_map(forward, mesh=mesh,
-                            in_specs=(P(), P(axis), P(axis)),
-                            out_specs=P(axis), check_rep=False)
+        forward = shard_map_nocheck(forward, mesh=mesh,
+                                    in_specs=(P(), P(axis), P(axis)),
+                                    out_specs=P(axis))
+    else:
+        logger.info("sharded forward: GSPMD propagation")
 
     fn = jax.jit(forward, in_shardings=(rep, data, data),
                  out_shardings=data)
@@ -231,7 +252,8 @@ def make_sharded_forward(model, variables, mesh) -> Callable:
 
 
 def make_sharded_train_step(model, optimizer, mesh,
-                            donate: bool = True) -> Callable:
+                            donate: bool = True,
+                            parity_metrics: bool = False) -> Callable:
     """Jits the train step over the mesh: replicated state, batch-sharded
     data — the DDP-equivalent collective rides ICI.
 
@@ -249,14 +271,49 @@ def make_sharded_train_step(model, optimizer, mesh,
         averages per-device losses and never synchronizes BatchNorm,
         `/root/reference/train.py:124-145`; our pmean of running stats
         is strictly tighter than DDP's unsynced per-device stats).
+
+    With `parity_metrics=True` the step additionally reports an
+    SPMD-semantics self-check in its metrics: an eval-mode (fixed
+    batch-stats, no flip) loss computed the distributed way
+    (`parity_loss_sharded`) and the same loss computed on the full
+    gathered/replicated batch exactly as one device would
+    (`parity_loss_global`). A missing collective or wrong mean shows up
+    as an O(1) gap between the two. Costs two extra forwards — meant
+    for dry runs and debugging, not production steps.
     """
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)  # pytree-prefix: applies to every batch leaf
     if (mesh.devices.size > 1
             and str(getattr(model, "cost_volume_custom_vjp", False)
                      ).startswith("pallas")):
-        return _make_shardmap_train_step(model, optimizer, mesh, donate)
+        logger.info(
+            "train step strategy: shard_map DDP (per-device kernels; "
+            "loss = mean of per-shard masked means, torch-DDP semantics)")
+        return _make_shardmap_train_step(model, optimizer, mesh, donate,
+                                         parity_metrics=parity_metrics)
+    logger.info("train step strategy: GSPMD (single program; loss = "
+                "global-batch masked means)")
     step = train_step_fn(model, optimizer)
+    if parity_metrics and mesh.devices.size > 1:
+        base_step = step
+
+        def step(state, batch, rng):
+            new_state, metrics = base_step(state, batch, rng)
+            # same math under two partitionings: propagated (XLA inserts
+            # the collectives) vs explicitly replicated (every device
+            # computes the full batch, i.e. the single-device program)
+            rep_batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, rep), batch)
+            e_sharded, _, _ = _forward_and_losses(
+                model, state.params, state.batch_stats, batch,
+                jnp.asarray(False), train=False)
+            e_global, _, _ = _forward_and_losses(
+                model, state.params, state.batch_stats, rep_batch,
+                jnp.asarray(False), train=False)
+            metrics["parity_loss_sharded"] = e_sharded["loss"]
+            metrics["parity_loss_global"] = e_global["loss"]
+            return new_state, metrics
+
     return jax.jit(
         step,
         in_shardings=(rep, data, rep),
@@ -266,7 +323,8 @@ def make_sharded_train_step(model, optimizer, mesh,
 
 def _make_shardmap_train_step(model, optimizer, mesh,
                               donate: bool = True,
-                              force_kernels: bool = False) -> Callable:
+                              force_kernels: bool = False,
+                              parity_metrics: bool = False) -> Callable:
     """DDP train step as an explicit-collective `shard_map` program.
 
     Per-device: forward + backward on the local batch shard (the Pallas
@@ -278,8 +336,9 @@ def _make_shardmap_train_step(model, optimizer, mesh,
     Semantics note: per-shard masked loss means are averaged across
     devices (mean-of-means), which equals the global masked mean when
     shards carry equal valid-pixel counts and matches torch DDP's
-    loss averaging otherwise."""
-    from jax.experimental.shard_map import shard_map
+    loss averaging otherwise (divergence quantified by
+    tests/test_train_parallel.py::test_shardmap_loss_semantics_unequal_masks).
+    """
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[-1]
@@ -303,6 +362,11 @@ def _make_shardmap_train_step(model, optimizer, mesh,
 
         grads, (loss_dict, new_stats) = jax.grad(
             loss_fn, has_aux=True)(state.params)
+        # per-leaf pmean: measured BETTER than raveling everything into
+        # one flat collective — the 49M-param concat + per-leaf slices
+        # doubled both compile and step time on the virtual CPU mesh,
+        # and on real ICI the ~780 launch overheads are ~ms against a
+        # 630 ms step
         grads = jax.lax.pmean(grads, axis)
         loss_dict = jax.lax.pmean(loss_dict, axis)
         new_stats = jax.lax.pmean(new_stats, axis)
@@ -311,14 +375,39 @@ def _make_shardmap_train_step(model, optimizer, mesh,
         new_params = optax.apply_updates(state.params, updates)
         metrics = {k: v for k, v in loss_dict.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
+        if parity_metrics:
+            # SPMD-semantics self-check, eval mode (running batch-stats,
+            # no flip) so the forward is per-element along the batch and
+            # mean-of-shard-means must equal the joint-batch loss. The
+            # reference side runs on a 2-shard PAIR, not the full
+            # gathered batch: every device would otherwise pay an
+            # n_devices-times-bigger forward, and two shards already
+            # expose a missing collective / wrong mean as an O(1) gap.
+            e_local, _, _ = _forward_and_losses(
+                model, state.params, state.batch_stats, batch,
+                jnp.asarray(False), train=False)
+            pair = min(2, int(mesh.shape[axis]))
+            local_b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            pair_batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(
+                    x, axis, axis=0, tiled=True)[:pair * local_b],
+                batch)
+            e_pair, _, _ = _forward_and_losses(
+                model, state.params, state.batch_stats, pair_batch,
+                jnp.asarray(False), train=False)
+            idx = jax.lax.axis_index(axis)
+            sel = (idx < pair).astype(jnp.float32)
+            metrics["parity_loss_sharded"] = jax.lax.psum(
+                sel * e_local["loss"], axis) / pair
+            metrics["parity_loss_global"] = e_pair["loss"]
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state)
         return new_state, metrics
 
-    smapped = shard_map(local_step, mesh=mesh,
-                        in_specs=(P(), P(axis), P()),
-                        out_specs=(P(), P()), check_rep=False)
+    smapped = shard_map_nocheck(local_step, mesh=mesh,
+                                in_specs=(P(), P(axis), P()),
+                                out_specs=(P(), P()))
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
     return jax.jit(

