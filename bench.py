@@ -190,7 +190,12 @@ def bench_infer(backend: str, batch: int, k1: int, k2: int,
     model_name = ("dot_product"
                   if os.environ.get("BENCH_MODEL") == "dot_product"
                   else "hero")
-    baseline = BASELINE_B1_MS if batch < 8 else BASELINE_B8_MS
+    if model_name == "dot_product":
+        # reference dot-product model: 80 ms b1 on A100
+        # (/root/reference/README.md:86-92; BASELINE.md table)
+        baseline = 80.0
+    else:
+        baseline = BASELINE_B1_MS if batch < 8 else BASELINE_B8_MS
     record = {
         "metric":
             f"{model_name}_depth_latency_512x384_b{batch}_{backend}",

@@ -76,7 +76,7 @@ class DotProductCostVolume(nn.Module):
 
         use_pallas = (self.backend in ("pallas", "pallas_interpret")
                       and not self.is_initializing())
-        if use_pallas and not return_mask:
+        if use_pallas:
             from simplerecon_tpu.ops import pallas_cv
             volume_bdN = pallas_cv.banded_warp_dot_volume(
                 src_feats_bkhwc.astype(self.dtype), cur_bNc,
@@ -95,8 +95,20 @@ class DotProductCostVolume(nn.Module):
 
         lowest = cv_ops.lowest_cost_depth(
             jax.lax.stop_gradient(volume_bhwd), planes_bd)
-        overall = (cv_ops.overall_source_mask(warp, h, w).reshape(b, h, w)
-                   if return_mask else None)
+        overall = None
+        if return_mask:
+            if warp is None:
+                # kernel path: the source-visibility mask only needs the
+                # farthest plane and one feature channel — a cheap XLA
+                # warp, same trick as MLPFeatureVolume below
+                warp_last = cv_ops.sweep_warp(
+                    src_feats_bkhwc[..., :1], src_extrinsics_bk44,
+                    src_Ks_bk44, cur_invK_b44, planes_bd[:, -1:])
+                overall = cv_ops.overall_source_mask(
+                    warp_last, h, w).reshape(b, h, w)
+            else:
+                overall = cv_ops.overall_source_mask(
+                    warp, h, w).reshape(b, h, w)
         return volume_bhwd, lowest, planes_bd, overall
 
 

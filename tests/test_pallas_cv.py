@@ -83,17 +83,27 @@ def test_pallas_dot_volume_matches_xla():
 
     cur, src, extr, poses, Ks, invK = make_inputs()
 
-    def run(backend):
+    def run(backend, return_mask=False):
         mod = DotProductCostVolume(num_depth_bins=4, backend=backend,
                                    dtype=jnp.float32)
         variables = mod.init(jax.random.PRNGKey(0), cur, src, extr,
                              poses, Ks, invK)
-        vol, lowest, _, _ = mod.apply(variables, cur, src, extr, poses,
-                                      Ks, invK)
-        return np.asarray(vol), np.asarray(lowest)
+        vol, lowest, _, mask = mod.apply(variables, cur, src, extr,
+                                         poses, Ks, invK,
+                                         return_mask=return_mask)
+        return np.asarray(vol), np.asarray(lowest), mask
 
-    vol_xla, low_xla = run("xla")
-    vol_pl, low_pl = run("pallas_interpret")
+    vol_xla, low_xla, _ = run("xla")
+    vol_pl, low_pl, _ = run("pallas_interpret")
     assert vol_xla.shape == vol_pl.shape
     np.testing.assert_allclose(vol_pl, vol_xla, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(low_pl, low_xla, rtol=1e-5, atol=1e-5)
+
+    # return_mask must keep the kernel path (eval CLI configuration) and
+    # reproduce the XLA path's farthest-plane source-visibility mask
+    vol_xm, _, mask_xla = run("xla", return_mask=True)
+    vol_pm, _, mask_pl = run("pallas_interpret", return_mask=True)
+    np.testing.assert_allclose(vol_pm, vol_xm, rtol=2e-4, atol=2e-4)
+    assert mask_pl is not None
+    np.testing.assert_array_equal(np.asarray(mask_pl) > 0.5,
+                                  np.asarray(mask_xla) > 0.5)
