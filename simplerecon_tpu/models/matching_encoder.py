@@ -68,23 +68,34 @@ class _ResNetBasicBlock(nn.Module):
 
 
 class ResnetMatchingEncoder(nn.Module):
-    """ResNet-18-stem matching encoder -> `num_ch_out` feats at 1/4 res."""
+    """ResNet-18-stem matching encoder -> `num_ch_out` feats at 1/4 res.
+
+    `stage_out` truncates the forward after a named stage ("conv1",
+    "pool", "layer1") — a profiling tap that keeps sub-stage timings on
+    the exact production code path; default (None) is the full head.
+    """
     num_ch_out: int = 16
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, image_bhw3: jnp.ndarray, train: bool = False
-                 ) -> jnp.ndarray:
+    def __call__(self, image_bhw3: jnp.ndarray, train: bool = False,
+                 stage_out: str | None = None) -> jnp.ndarray:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name="conv1", dtype=self.dtype)(image_bhw3)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1", dtype=self.dtype)(x)
         x = jax.nn.relu(x)
+        if stage_out == "conv1":
+            return x
         # anti-aliased max-pool: dense 2x2/1 max then blur-pool stride 2
         x = nn.max_pool(x, (2, 2), strides=(1, 1), padding="VALID")
         x = _blur_pool_4tap(x)
+        if stage_out == "pool":
+            return x
         x = _ResNetBasicBlock(64, dtype=self.dtype, name="layer1_0")(x, train)
         x = _ResNetBasicBlock(64, dtype=self.dtype, name="layer1_1")(x, train)
+        if stage_out == "layer1":
+            return x
 
         # projection head (`modules/networks.py:189-202`)
         x = conv1x1(128, use_bias=True, name="head_conv1",
@@ -217,10 +228,17 @@ class UNetMatchingEncoder(nn.Module):
         for idx in (3, 2, 1):
             lateral = conv1x1(f, use_bias=True, name=f"inner_{idx}",
                               dtype=self.dtype)(feats[idx])
-            top_down = jax.image.resize(
-                last_inner,
-                (last_inner.shape[0],) + lateral.shape[1:3] + (f,),
-                "nearest")
+            if lateral.shape[1:3] == (2 * last_inner.shape[1],
+                                      2 * last_inner.shape[2]):
+                # exact 2x nearest == 2x2 pixel repeat (src = floor(dst/2)),
+                # a broadcast+reshape instead of jax.image.resize's gather
+                top_down = jnp.repeat(jnp.repeat(last_inner, 2, axis=1),
+                                      2, axis=2)
+            else:
+                top_down = jax.image.resize(
+                    last_inner,
+                    (last_inner.shape[0],) + lateral.shape[1:3] + (f,),
+                    "nearest")
             last_inner = lateral + top_down
         p1 = nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
                      name="layer_1", dtype=self.dtype)(last_inner)

@@ -144,14 +144,43 @@ def resize_nearest(img_bhwc: jnp.ndarray, out_h: int, out_w: int
     return img_bhwc[:, jnp.clip(ys, 0, h - 1)][:, :, jnp.clip(xs, 0, w - 1)]
 
 
+def _up2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear upsample along one axis without gathers.
+
+    With align_corners=False the 2x weights are the fixed interleave
+    even_j = prev + (cur - prev) * 0.75, odd_j = cur + (next - cur) * 0.25
+    (edge-clamped), the same expressions the gather path evaluates — so
+    this is bit-identical while lowering to slices + interleave instead
+    of XLA gathers (which serialize badly on TPU).
+    """
+    n = x.shape[axis]
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+    prev = jnp.concatenate(
+        [first, jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, n, axis=axis), last], axis=axis)
+    w75 = jnp.asarray(0.75, dtype=x.dtype)
+    w25 = jnp.asarray(0.25, dtype=x.dtype)
+    even = prev + (x - prev) * w75
+    odd = x + (nxt - x) * w25
+    out = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return out.reshape(shape)
+
+
 def resize_bilinear(img_bhwc: jnp.ndarray, out_h: int, out_w: int
                     ) -> jnp.ndarray:
     """torch F.interpolate(mode='bilinear', align_corners=False) parity.
 
     Half-pixel source coords clamped at the borders, matching the
     reference's `upsample` helper (`utils/generic_utils.py:96-105`).
+    Exact 2x resizes take a gather-free slice+interleave fast path.
     """
     b, h, w, c = img_bhwc.shape
+    if out_h == 2 * h and out_w == 2 * w:
+        return _up2x_axis(_up2x_axis(img_bhwc, 1), 2)
 
     def axis_weights(out_n, in_n):
         coord = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (in_n / out_n) - 0.5

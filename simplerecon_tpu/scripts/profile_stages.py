@@ -128,8 +128,48 @@ def main(backend: str = "pallas", batch: int = 1):
     make, args = chain_over(run_full, cur["image_b3hw"])
     stages["TOTAL forward"] = _two_point(make, args)
 
+    # 5) cv_encoder + decoder, separately (the round-4 residual split).
+    # Inputs synthesized at the real shapes: encoder taps at strides
+    # 2..32, cost volume at the matching resolution.
+    m = opts.matching_scale
+    from simplerecon_tpu.models.efficientnet import EfficientNetV2Features
+    enc_dims = EfficientNetV2Features().num_ch_enc
+    enc_feats = [
+        jnp.asarray(rng_np.randn(b, h // (2 ** (i + 1)),
+                                 w // (2 ** (i + 1)), ch), dtype)
+        for i, ch in enumerate(enc_dims)]
+    cv_bhwd = jnp.asarray(
+        rng_np.randn(b, mh, mw, opts.matching_num_depth_bins), dtype)
+
+    def run_cv_enc(variables, x):
+        feats = model.apply(
+            variables, x, [f.astype(x.dtype) for f in enc_feats[m:]],
+            False,
+            method=lambda mm, cv, fe, t: mm.cost_volume_net(cv, fe, t))
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats) * 1e-9
+    make, args = chain_over(run_cv_enc, cv_bhwd)
+    stages["cv_encoder"] = _two_point(make, args)
+
+    cv_feat_dims = model.cv_encoder_ch
+    cv_feats_syn = [
+        jnp.asarray(rng_np.randn(b, mh // (2 ** i), mw // (2 ** i), ch),
+                    dtype)
+        for i, ch in enumerate(cv_feat_dims)]
+
+    def run_decoder(variables, x):
+        dec_in = [x] + cv_feats_syn
+        out = model.apply(
+            variables, dec_in, False,
+            method=lambda mm, f, t: mm.depth_decoder(f, t))
+        return sum(jnp.sum(v.astype(jnp.float32))
+                   for v in out.values()) * 1e-9
+    make, args = chain_over(run_decoder, enc_feats[0])
+    stages["decoder(UNet++)"] = _two_point(make, args)
+
     total = stages["TOTAL forward"]
-    known = sum(v for s, v in stages.items() if s != "TOTAL forward")
+    known = sum(v for s, v in stages.items()
+                if s not in ("TOTAL forward", "cv_encoder",
+                             "decoder(UNet++)"))
     print(f"\nbackend={backend} batch={batch} "
           f"({w}x{h}, {opts.matching_num_depth_bins} planes, "
           f"{k + 1} views)")

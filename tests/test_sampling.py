@@ -75,6 +75,34 @@ def test_upsample2x_matches_torch(rng):
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-6)
 
 
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_resize_bilinear_2x_fast_path_bitexact(rng, dtype):
+    """The gather-free 2x interleave fast path must be bit-identical to
+    the general gather formulation (same expressions, reordered ops)."""
+    img = jnp.asarray(rng.randn(2, 5, 7, 3), dtype=jnp.dtype(dtype))
+    fast = sampling.resize_bilinear(img, 10, 14)
+    # force the general path by resizing H and W in two odd-target steps
+    # is not equivalent; instead evaluate the gather formulation directly.
+    h, w = 5, 7
+
+    def axis_weights(out_n, in_n):
+        coord = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) \
+            * (in_n / out_n) - 0.5
+        coord = jnp.clip(coord, 0.0, in_n - 1.0)
+        i0 = jnp.floor(coord).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, in_n - 1)
+        return i0, i1, (coord - i0.astype(jnp.float32)).astype(img.dtype)
+
+    y0, y1, wy = axis_weights(10, h)
+    x0, x1, wx = axis_weights(14, w)
+    top, bot = img[:, y0], img[:, y1]
+    rows = top + (bot - top) * wy[None, :, None, None]
+    left, right = rows[:, :, x0], rows[:, :, x1]
+    ref = left + (right - left) * wx[None, None, :, None]
+    assert fast.dtype == ref.dtype
+    assert bool(jnp.all(fast == ref))
+
+
 def test_sample_nearest_matmul_matches_gather(rng):
     """The one-hot MXU nearest sampler must equal grid_sample
     (mode='nearest') bit-for-bit, including out-of-range zeros and
