@@ -58,6 +58,7 @@ class DepthModel(nn.Module):
     min_matching_depth: float = 0.25
     max_matching_depth: float = 5.0
     matching_feature_dims: int = 16
+    matching_norm: str = "batch"  # "batch" | "group" (eval-lag ablation)
     model_num_views: int = 8
     feature_volume_type: str = "mlp_feature_volume"
     matching_encoder_type: str = "resnet"  # "resnet" | "unet_encoder"
@@ -100,7 +101,8 @@ class DepthModel(nn.Module):
                 name="matching_model")
         else:
             self.matching_model = maybe_remat(ResnetMatchingEncoder, (2,))(
-                num_ch_out=self.matching_feature_dims, dtype=self.dtype,
+                num_ch_out=self.matching_feature_dims,
+                norm=self.matching_norm, dtype=self.dtype,
                 name="matching_model")
         if self.feature_volume_type == "simple_cost_volume":
             self.cost_volume = DotProductCostVolume(
@@ -253,6 +255,7 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         min_matching_depth=opts.min_matching_depth,
         max_matching_depth=opts.max_matching_depth,
         matching_feature_dims=opts.matching_feature_dims,
+        matching_norm=getattr(opts, "matching_norm", "batch"),
         model_num_views=opts.model_num_views,
         feature_volume_type=opts.feature_volume_type,
         matching_encoder_type=opts.matching_encoder_type,

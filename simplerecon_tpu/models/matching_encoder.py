@@ -46,16 +46,28 @@ def _blur_pool_4tap(x_bhwc: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
 
 
+def _make_norm(norm: str, train: bool, dtype):
+    """Norm factory for the matching stem: "batch" (reference parity,
+    running stats) or "group" (GroupNorm-8: train == eval, no running
+    stats — the eval-metric-lag ablation, see STATUS norm decision)."""
+    def apply(h, name):
+        if norm == "group":
+            return nn.GroupNorm(num_groups=8, epsilon=1e-5, name=name,
+                                dtype=dtype)(h)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, name=name, dtype=dtype)(h)
+    return apply
+
+
 class _ResNetBasicBlock(nn.Module):
     """Standard torchvision BasicBlock: BN + ReLU, bias-free convs."""
     planes: int
+    norm: str = "batch"
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        def bn(h, name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, name=name, dtype=self.dtype)(h)
+        bn = _make_norm(self.norm, train, self.dtype)
 
         identity = x
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
@@ -73,8 +85,13 @@ class ResnetMatchingEncoder(nn.Module):
     `stage_out` truncates the forward after a named stage ("conv1",
     "pool", "layer1") — a profiling tap that keeps sub-stage timings on
     the exact production code path; default (None) is the full head.
+
+    `norm="group"` swaps every BatchNorm for GroupNorm-8 (train == eval;
+    no running stats): the eval-metric-lag ablation. Default "batch"
+    keeps reference checkpoint parity.
     """
     num_ch_out: int = 16
+    norm: str = "batch"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -82,8 +99,7 @@ class ResnetMatchingEncoder(nn.Module):
                  stage_out: str | None = None) -> jnp.ndarray:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name="conv1", dtype=self.dtype)(image_bhw3)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1", dtype=self.dtype)(x)
+        x = _make_norm(self.norm, train, self.dtype)(x, "bn1")
         x = jax.nn.relu(x)
         if stage_out == "conv1":
             return x
@@ -92,8 +108,10 @@ class ResnetMatchingEncoder(nn.Module):
         x = _blur_pool_4tap(x)
         if stage_out == "pool":
             return x
-        x = _ResNetBasicBlock(64, dtype=self.dtype, name="layer1_0")(x, train)
-        x = _ResNetBasicBlock(64, dtype=self.dtype, name="layer1_1")(x, train)
+        x = _ResNetBasicBlock(64, norm=self.norm, dtype=self.dtype,
+                              name="layer1_0")(x, train)
+        x = _ResNetBasicBlock(64, norm=self.norm, dtype=self.dtype,
+                              name="layer1_1")(x, train)
         if stage_out == "layer1":
             return x
 

@@ -80,6 +80,9 @@ class Options:
     loss_type: str = "log_l1"
     matching_encoder_type: str = "resnet"
     matching_feature_dims: int = 16
+    # "batch" (reference parity) | "group" (GroupNorm-8 stem: train==eval,
+    # removes BN running-stat staleness; not checkpoint-compatible)
+    matching_norm: str = "batch"
     matching_scale: int = 1
     matching_num_depth_bins: int = 64
     min_matching_depth: float = 0.25

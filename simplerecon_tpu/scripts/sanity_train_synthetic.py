@@ -40,6 +40,7 @@ def make_opts(args) -> Options:
     opts.max_matching_depth = 8.0
     opts.batch_size = args.batch
     opts.lr = 3e-4
+    opts.matching_norm = args.matching_norm
     return opts
 
 
@@ -67,6 +68,10 @@ def main():
     # from N train-mode forward passes — isolating how much of the
     # train/eval metric gap is pure BatchNorm running-stat staleness
     ap.add_argument("--bn_recal", type=int, default=0)
+    # "group" swaps the matching stem's BatchNorms for GroupNorm-8
+    # (train == eval) — the norm-choice ablation paired with --bn_recal
+    ap.add_argument("--matching_norm", default="batch",
+                    choices=["batch", "group"])
     args = ap.parse_args()
 
     opts = make_opts(args)

@@ -165,6 +165,20 @@ class TestEncoders:
         np.testing.assert_allclose(np.asarray(out).mean((1, 2)), 0.0,
                                    atol=1e-4)
 
+    def test_matching_encoder_groupnorm_stateless(self, rng):
+        """norm="group" (the eval-lag ablation) must carry NO running
+        stats — train and eval modes compute the identical function."""
+        enc = ResnetMatchingEncoder(num_ch_out=8, norm="group")
+        x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        variables = enc.init(jax.random.PRNGKey(0), x)
+        assert "batch_stats" not in variables
+        train_out, mut = enc.apply(variables, x, True, mutable=True)
+        assert not mut  # nothing mutable in train mode either
+        eval_out = enc.apply(variables, x, False)
+        np.testing.assert_allclose(np.asarray(train_out),
+                                   np.asarray(eval_out), atol=0)
+        assert eval_out.shape == (2, 8, 8, 8)
+
     def test_matching_encoder_batch_invariance(self, rng):
         """The torch reference needed a one-image-at-a-time workaround
         (test.py:16-25); ours must be batch-size invariant at inference."""
