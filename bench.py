@@ -24,6 +24,11 @@ The harness therefore measures *on-device* time by construction:
   * two chain lengths K1 < K2 are timed and differenced:
     per_iter = (t(K2) - t(K1)) / (K2 - K1), cancelling the round-trip
     and any constant overhead;
+  * N >= 5 INDEPENDENT two-point estimates are taken (BENCH_ESTIMATES);
+    the JSON line carries the median as "value" plus
+    "spread_ms": [min, max] — a latency win is only claimed when it
+    exceeds the spread (round-4 lesson: a single-estimate 9.975 ms
+    headline reproduced at ~12 ms);
   * implied TFLOP/s is computed from XLA's own cost analysis and the
     run FAILS LOUDLY if it exceeds the chip's physical bf16 peak;
   * BENCH_MODE=calibrate times a known-FLOPs matmul through the same
@@ -33,7 +38,9 @@ Env knobs (defaults chosen for the driver run):
     BENCH_BACKEND   xla | pallas | pallas_v1
                     (cost-volume path; default xla — fastest measured)
     BENCH_BATCH     batch size     (default 1; latency still /frame)
-    BENCH_REPEATS   timing repeats per chain length (default 3)
+    BENCH_REPEATS   timing repeats per chain length per estimate
+                    (default 3; the median is one estimate's t(K))
+    BENCH_ESTIMATES independent two-point estimates (default 5)
     BENCH_K1/K2     chain lengths  (default 2 / 10)
     BENCH_MODE      infer | train | calibrate
                     (train = full jitted train step, batch default 16;
@@ -102,24 +109,44 @@ def _timed_readback(fn, *args, repeats: int) -> float:
     return sorted(times)[len(times) // 2]
 
 
-def _two_point_per_iter_ms(make_chain, args, k1: int, k2: int,
-                           repeats: int) -> float:
-    """Times chains of length k1 and k2 and differences them, cancelling
-    the relay round-trip and constant dispatch overhead."""
+def _two_point_estimates(make_chain, args, k1: int, k2: int,
+                         repeats: int, n_estimates: int) -> dict:
+    """N independent two-point estimates: each times chains of length k1
+    and k2 and differences them, cancelling the relay round-trip and
+    constant dispatch overhead. Returns median + spread so a "win" can
+    be distinguished from run-to-run relay variance (round-4 lesson: a
+    single estimate published a 9.975 ms headline that reproduced at
+    ~12 ms)."""
     chain1 = jax.jit(make_chain(k1))
     chain2 = jax.jit(make_chain(k2))
     # warmup/compile both
     float(chain1(*args))
     float(chain2(*args))
-    t1 = _timed_readback(chain1, *args, repeats=repeats)
-    t2 = _timed_readback(chain2, *args, repeats=repeats)
-    per_iter = (t2 - t1) / (k2 - k1)
-    if per_iter <= 0:
-        raise SystemExit(
-            f"BENCH INVALID: non-positive per-iteration time "
-            f"({t1:.3f} ms @K={k1}, {t2:.3f} ms @K={k2}) — chains are "
-            "not executing serially.")
-    return per_iter
+    estimates = []
+    for i in range(n_estimates):
+        t1 = _timed_readback(chain1, *args, repeats=repeats)
+        t2 = _timed_readback(chain2, *args, repeats=repeats)
+        per_iter = (t2 - t1) / (k2 - k1)
+        if per_iter <= 0:
+            raise SystemExit(
+                f"BENCH INVALID: non-positive per-iteration time "
+                f"({t1:.3f} ms @K={k1}, {t2:.3f} ms @K={k2}, "
+                f"estimate {i}) — chains are not executing serially.")
+        estimates.append(per_iter)
+    estimates.sort()
+    return {
+        "median": estimates[len(estimates) // 2],
+        "min": estimates[0],
+        "max": estimates[-1],
+        "all": estimates,
+    }
+
+
+def _two_point_per_iter_ms(make_chain, args, k1: int, k2: int,
+                           repeats: int) -> float:
+    """Single-estimate convenience wrapper (profiling scripts)."""
+    return _two_point_estimates(make_chain, args, k1, k2, repeats,
+                                n_estimates=1)["median"]
 
 
 def build(backend: str, batch: int):
@@ -177,9 +204,11 @@ def build(backend: str, batch: int):
 
 
 def bench_infer(backend: str, batch: int, k1: int, k2: int,
-                repeats: int) -> dict:
+                repeats: int, n_estimates: int) -> dict:
     make_chain, args = build(backend, batch)
-    per_iter_ms = _two_point_per_iter_ms(make_chain, args, k1, k2, repeats)
+    est = _two_point_estimates(make_chain, args, k1, k2, repeats,
+                               n_estimates)
+    per_iter_ms = est["median"]
 
     # FLOPs of one forward, from XLA's cost analysis of the K=1 chain
     flops = _cost_flops(jax.jit(make_chain(1)), *args)
@@ -202,13 +231,17 @@ def bench_infer(backend: str, batch: int, k1: int, k2: int,
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline / ms, 3),
+        "spread_ms": [round(est["min"] / batch, 3),
+                      round(est["max"] / batch, 3)],
+        "n_estimates": n_estimates,
     }
     if tflops is not None:
         record["implied_tflops"] = round(tflops, 1)
     return record
 
 
-def bench_train(batch: int, k1: int, k2: int, repeats: int):
+def bench_train(batch: int, k1: int, k2: int, repeats: int,
+                n_estimates: int):
     """Full jitted train step (fwd + bwd + AdamW) on one chip, K steps
     chained in one program (state threads through, so every step
     genuinely executes).
@@ -276,12 +309,16 @@ def bench_train(batch: int, k1: int, k2: int, repeats: int):
         return chain
 
     args = (state0, data, jax.random.PRNGKey(1))
-    per_step_ms = _two_point_per_iter_ms(make_chain, args, k1, k2, repeats)
+    est = _two_point_estimates(make_chain, args, k1, k2, repeats,
+                               n_estimates)
+    per_step_ms = est["median"]
     return {
         "metric": f"hero_train_step_512x384_b{batch}",
         "value": round(per_step_ms, 3),
         "unit": "ms",
         "vs_baseline": round(1180.0 / per_step_ms, 3),
+        "spread_ms": [round(est["min"], 3), round(est["max"], 3)],
+        "n_estimates": n_estimates,
     }
 
 
@@ -336,6 +373,7 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     mode = os.environ.get("BENCH_MODE", "infer")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    n_estimates = int(os.environ.get("BENCH_ESTIMATES", "5"))
     k1 = int(os.environ.get("BENCH_K1", "2"))
     k2 = int(os.environ.get("BENCH_K2", "10"))
 
@@ -344,11 +382,12 @@ def main():
         return
     if mode == "train":
         batch = int(os.environ.get("BENCH_BATCH", "16"))
-        print(json.dumps(bench_train(batch, k1, k2, repeats)))
+        print(json.dumps(bench_train(batch, k1, k2, repeats,
+                                     n_estimates)))
         return
 
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    record = bench_infer(backend, batch, k1, k2, repeats)
+    record = bench_infer(backend, batch, k1, k2, repeats, n_estimates)
     # The driver artifact should also carry the training headline (the
     # round-3 verdict's ask: the number that beats the reference 2x was
     # living only in STATUS.md). Guarded so a train-measurement failure
@@ -357,9 +396,10 @@ def main():
             and os.environ.get("BENCH_MODEL") != "dot_product":
         try:
             tb = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
-            train = bench_train(tb, k1, k2, repeats)
+            train = bench_train(tb, k1, k2, repeats, n_estimates)
             record[f"train_step_ms_b{tb}"] = train["value"]
             record["train_vs_baseline"] = train["vs_baseline"]
+            record["train_spread_ms"] = train["spread_ms"]
         except Exception as e:  # pragma: no cover - defensive
             print(f"# train-step bench skipped: {e}", file=sys.stderr)
     print(json.dumps(record))

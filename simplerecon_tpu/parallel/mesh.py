@@ -68,10 +68,15 @@ def shard_map_nocheck(f, mesh: Mesh, in_specs, out_specs):
     jax >= 0.8 promotes `shard_map` to the top level (keyword-only, the
     check flag renamed `check_rep` -> `check_vma`) and emits a
     DeprecationWarning for `jax.experimental.shard_map`; older releases
-    only have the experimental module."""
+    only have the experimental module. Some intermediate releases
+    exposed top-level `jax.shard_map` while still taking `check_rep=`,
+    so the flag name is picked from the actual signature."""
     if hasattr(jax, "shard_map"):
+        import inspect
+        params = inspect.signature(jax.shard_map).parameters
+        flag = "check_vma" if "check_vma" in params else "check_rep"
         return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
+                             out_specs=out_specs, **{flag: False})
     from jax.experimental.shard_map import shard_map  # pragma: no cover
     return shard_map(f, mesh=mesh, in_specs=in_specs,
                      out_specs=out_specs, check_rep=False)

@@ -79,7 +79,6 @@ def main():
     opts.log_interval = max(50, args.steps // 20)
     opts.val_interval = max(100, args.steps // 10)
     opts.val_batches = 2
-    opts.checkpoint_interval = max(100, args.steps // 5)
     t0 = time.perf_counter()
     train_cli.main(opts)
     summary["train_seconds"] = round(time.perf_counter() - t0, 1)

@@ -172,8 +172,11 @@ class TestEncoders:
         x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
         variables = enc.init(jax.random.PRNGKey(0), x)
         assert "batch_stats" not in variables
-        train_out, mut = enc.apply(variables, x, True, mutable=True)
-        assert not mut  # nothing mutable in train mode either
+        # NB: mutable=True in Flax returns EVERY collection (params too);
+        # ask for batch_stats specifically to assert statelessness.
+        train_out, mut = enc.apply(variables, x, True,
+                                   mutable=["batch_stats"])
+        assert "batch_stats" not in mut  # nothing stateful in train mode
         eval_out = enc.apply(variables, x, False)
         np.testing.assert_allclose(np.asarray(train_out),
                                    np.asarray(eval_out), atol=0)
