@@ -41,20 +41,28 @@ def make_opts(args) -> Options:
     opts.batch_size = args.batch
     opts.lr = 3e-4
     opts.matching_norm = args.matching_norm
+    # custom-VJP arm for the norm/gradient ablation: the shipped default
+    # is "pallas_bwd"; "autodiff" reproduces the round-2 learnability
+    # PASS configuration (checkpointed autodiff through the XLA sweep)
+    opts.cost_volume_custom_vjp = {
+        "autodiff": False, "xla": True}.get(args.cvjp, args.cvjp)
     return opts
+
+
+def _abs_rel_of(pred_bhw1, batch) -> list:
+    pred = np.asarray(pred_bhw1[..., 0])
+    gt = np.asarray(batch["cur"]["depth_bhw"])
+    valid = np.asarray(batch["cur"]["mask_b_bhw"]) & (gt > 0)
+    m = compute_depth_metrics_batched(jnp.asarray(gt), jnp.asarray(pred),
+                                      jnp.asarray(valid))
+    return [v for v in np.asarray(m["abs_rel"]) if np.isfinite(v)]
 
 
 def eval_abs_rel(eval_step, state, batches) -> float:
     vals = []
     for batch in batches:
         _, outputs = eval_step(state, batch)
-        pred = np.asarray(outputs["depth_pred_s0_bhw1"][..., 0])
-        gt = np.asarray(batch["cur"]["depth_bhw"])
-        valid = np.asarray(batch["cur"]["mask_b_bhw"]) & (gt > 0)
-        m = compute_depth_metrics_batched(jnp.asarray(gt),
-                                          jnp.asarray(pred),
-                                          jnp.asarray(valid))
-        vals.extend([v for v in np.asarray(m["abs_rel"]) if np.isfinite(v)])
+        vals.extend(_abs_rel_of(outputs["depth_pred_s0_bhw1"], batch))
     return float(np.mean(vals))
 
 
@@ -72,7 +80,12 @@ def main():
     # (train == eval) — the norm-choice ablation paired with --bn_recal
     ap.add_argument("--matching_norm", default="batch",
                     choices=["batch", "group"])
+    ap.add_argument("--cvjp", default="pallas_bwd",
+                    choices=["pallas_bwd", "pallas", "xla", "autodiff"])
     args = ap.parse_args()
+    print(f"config: steps={args.steps} batch={args.batch} "
+          f"norm={args.matching_norm} cvjp={args.cvjp} "
+          f"bn_recal={args.bn_recal}", flush=True)
 
     opts = make_opts(args)
     dataset = SyntheticDataset(num_frames=48,
@@ -97,6 +110,35 @@ def main():
     step_fn = jax.jit(train_step_fn(model, optimizer),
                       donate_argnums=(0,))
     eval_step = jax.jit(eval_step_fn(model))
+
+    @jax.jit
+    def train_mode_pred(state, batch):
+        """Batch-stat (train-mode) forward, stats update DISCARDED — the
+        discriminator between 'BN running stats are stale' (train-mode
+        abs_rel small, eval-mode huge) and 'the model never learned
+        depth at all' (both huge)."""
+        out, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["cur"], batch["src"], flip=False, train=True,
+            mutable=["batch_stats"])
+        return out["depth_pred_s0_bhw1"]
+
+    def train_mode_abs_rel(state) -> float:
+        vals = []
+        for b in batches:
+            vals.extend(_abs_rel_of(train_mode_pred(state, b), b))
+        return float(np.mean(vals))
+
+    @jax.jit
+    def stats_summary(state):
+        """Drift indicators for the BN running stats."""
+        leaves = jax.tree_util.tree_leaves_with_path(state.batch_stats)
+        means = [l for p, l in leaves if "mean" in jax.tree_util.keystr(p)]
+        vars_ = [l for p, l in leaves if "var" in jax.tree_util.keystr(p)]
+        max_mean = jnp.max(jnp.asarray(
+            [jnp.max(jnp.abs(m)) for m in means]))
+        max_var = jnp.max(jnp.asarray([jnp.max(v) for v in vars_]))
+        return max_mean, max_var
 
     @jax.jit
     def recal_step(state, batch):
@@ -129,10 +171,15 @@ def main():
             step += 1
             if step % args.eval_every == 0:
                 abs_rel = eval_abs_rel(eval_step, state, batches)
+                abs_rel_tm = train_mode_abs_rel(state)
+                mm, mv = stats_summary(state)
                 recal = (f" abs_rel_bn_recal={recal_abs_rel(state):.4f}"
                          if args.bn_recal else "")
                 print(f"step {step}: loss={float(metrics['loss']):.4f} "
-                      f"abs_rel={abs_rel:.4f}{recal} "
+                      f"abs_rel={abs_rel:.4f} "
+                      f"abs_rel_trainmode={abs_rel_tm:.4f}{recal} "
+                      f"bn_max|mean|={float(mm):.1f} "
+                      f"bn_max_var={float(mv):.1f} "
                       f"({step / (time.perf_counter() - t0):.1f} it/s)",
                       flush=True)
 
