@@ -89,7 +89,9 @@ def main():
     log_path = os.path.join(opts.log_dir, opts.name, "metrics.jsonl")
     with open(log_path) as f:
         train_rows = [json.loads(line) for line in f if line.strip()]
-    losses = [r["loss"] for r in train_rows if "loss" in r]
+    losses = [r.get("train/loss", r.get("loss"))
+              for r in train_rows
+              if "train/loss" in r or "loss" in r]
     summary["final_train_loss"] = round(float(losses[-1]), 4)
 
     # ---- 2. eval CLI + fusion ----------------------------------------
