@@ -41,7 +41,11 @@ Env knobs (defaults chosen for the driver run):
     BENCH_REPEATS   timing repeats per chain length per estimate
                     (default 3; the median is one estimate's t(K))
     BENCH_ESTIMATES independent two-point estimates (default 5)
-    BENCH_K1/K2     chain lengths  (default 2 / 10)
+    BENCH_K1/K2     chain lengths  (default 2 / 34; the two-point
+                    difference divides relay jitter by K2-K1, so long
+                    chains are what keep spread_ms < 1 ms at b1)
+    BENCH_TRAIN_K1/K2  chain lengths for train mode (default 2 / 6 —
+                    steps are ~50x longer, jitter already sub-percent)
     BENCH_MODE      infer | train | calibrate
                     (train = full jitted train step, batch default 16;
                      reports ms/step)
@@ -374,15 +378,26 @@ def main():
     mode = os.environ.get("BENCH_MODE", "infer")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     n_estimates = int(os.environ.get("BENCH_ESTIMATES", "5"))
+    # chain lengths: the two-point difference divides the relay's
+    # per-call timing jitter by (K2 - K1), so K2 - K1 = 32 puts ~1 ms
+    # of round-trip noise below 0.1 ms per-iteration error. Round-4's
+    # K2=10 left the b1 spread at ~2-3 ms — wider than the wins being
+    # claimed (the 9.975-vs-12.0 ms lesson). fori_loop chains compile
+    # in near-constant time, so the longer chain costs only run time
+    # (~0.5 s per timed call at 12 ms/iter).
     k1 = int(os.environ.get("BENCH_K1", "2"))
-    k2 = int(os.environ.get("BENCH_K2", "10"))
+    k2 = int(os.environ.get("BENCH_K2", "34"))
+    # train steps are ~50x longer than b1 inference, so relay jitter is
+    # already sub-percent at short chains; K2=34 would cost ~10 min
+    k1t = int(os.environ.get("BENCH_TRAIN_K1", "2"))
+    k2t = int(os.environ.get("BENCH_TRAIN_K2", "6"))
 
     if mode == "calibrate":
         bench_calibrate(k1, k2, repeats)
         return
     if mode == "train":
         batch = int(os.environ.get("BENCH_BATCH", "16"))
-        print(json.dumps(bench_train(batch, k1, k2, repeats,
+        print(json.dumps(bench_train(batch, k1t, k2t, repeats,
                                      n_estimates)))
         return
 
@@ -396,7 +411,7 @@ def main():
             and os.environ.get("BENCH_MODEL") != "dot_product":
         try:
             tb = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
-            train = bench_train(tb, k1, k2, repeats, n_estimates)
+            train = bench_train(tb, k1t, k2t, repeats, n_estimates)
             record[f"train_step_ms_b{tb}"] = train["value"]
             record["train_vs_baseline"] = train["vs_baseline"]
             record["train_spread_ms"] = train["spread_ms"]

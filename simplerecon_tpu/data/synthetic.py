@@ -48,10 +48,15 @@ def make_room_mesh(tess: int = 64, seed: int = 0
         faces.append(np.stack([a, b, c], 1))
         faces.append(np.stack([a, c, d], 1))
 
-    # winding chosen so faces point toward the camera region (origin-ish)
+    # winding chosen so faces point toward the camera region (origin-ish;
+    # the rasterizer backface-culls). Round-5 fix: the original (du, dv)
+    # order left BOTH walls wound away from the camera — every synthetic
+    # run before round 5 was supervised by the floor alone (13-25% of
+    # pixels, 0% in late frames), which is also why fused meshes grew
+    # phantom geometry at the unsupervised pixels.
     add_quad_grid([-2.0, 1.0, 0.0], [4.0, 0.0, 0.0], [0.0, 0.0, 5.0])
-    add_quad_grid([-2.0, -1.5, 4.0], [4.0, 0.0, 0.0], [0.0, 2.5, 0.0])
-    add_quad_grid([-2.0, -1.5, 0.0], [0.0, 0.0, 5.0], [0.0, 2.5, 0.0])
+    add_quad_grid([-2.0, -1.5, 4.0], [0.0, 2.5, 0.0], [4.0, 0.0, 0.0])
+    add_quad_grid([-2.0, -1.5, 0.0], [0.0, 2.5, 0.0], [0.0, 0.0, 5.0])
 
     v = np.concatenate(verts).astype(np.float32)
     f = np.concatenate(faces).astype(np.int32)
@@ -81,6 +86,9 @@ def camera_trajectory(n_frames: int, radius: float = 0.35,
     return poses
 
 
+DEFAULT_NUM_FRAMES = 48
+
+
 class SyntheticDataset(GenericMVSDataset):
     """In-memory rendered dataset; scan_id is ignored (one scene).
 
@@ -89,9 +97,14 @@ class SyntheticDataset(GenericMVSDataset):
     internally (no tuple file needed).
     """
 
-    def __init__(self, num_frames: int = 48, image_height: int = 64,
+    def __init__(self, num_frames: int | None = None, image_height: int = 64,
                  image_width: int = 96, num_images_in_tuple: int = 4,
                  split: str = "train", seed: int = 0, **kwargs):
+        if num_frames is None:
+            # settable default so CLIs that construct datasets through the
+            # registry (which doesn't plumb num_frames) can size the scene
+            # (scripts/bench_eval_throughput.py needs full batches)
+            num_frames = DEFAULT_NUM_FRAMES
         # bypass GenericMVSDataset file plumbing entirely
         self.split = split
         self.image_height = image_height
