@@ -68,3 +68,21 @@ def test_birdseye_camera_smooths():
     # valid rotation
     R = t2[:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_synthetic_room_every_frame_sees_geometry():
+    """Winding regression guard: before round 5 BOTH room walls were
+    wound away from the camera (backface-culled), so the synthetic
+    fixture silently supervised with the floor alone (0% valid pixels
+    in frames >= 38). Every trajectory frame must now be mostly valid."""
+    from simplerecon_tpu.data.synthetic import (camera_trajectory,
+                                                make_room_mesh)
+    v, f, c = make_room_mesh(tess=16)
+    r = Renderer(32, 48)
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 0.9 * 48
+    K[0, 2], K[1, 2] = 24.0, 16.0
+    for i, pose in enumerate(camera_trajectory(48)):
+        _, depth = r.render_mesh(v, f, pose, K, vert_colors=c)
+        valid = float((depth > 0).mean())
+        assert valid > 0.5, f"frame {i}: only {valid:.2f} valid"
