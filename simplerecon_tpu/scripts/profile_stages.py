@@ -18,6 +18,11 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import os
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _two_point(make_chain, args, k1=2, k2=6, repeats=3):
