@@ -136,6 +136,9 @@ def _scan_invK(dataset, scan):
 
 
 def main(opts: Options):
+    from simplerecon_tpu.utils import compile_cache
+    compile_cache.enable()
+
     results_path = os.path.join(opts.output_base_path, opts.name,
                                 opts.dataset, opts.frame_tuple_type)
     scores_dir = os.path.join(results_path, "scores")

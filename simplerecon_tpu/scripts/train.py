@@ -108,6 +108,9 @@ def build_dataloaders(opts: Options):
 
 
 def main(opts: Options):
+    from simplerecon_tpu.utils import compile_cache
+    compile_cache.enable()
+
     np.random.seed(opts.random_seed)
     log_dir = os.path.join(opts.log_dir, opts.name)
     ckpt_dir = os.path.join(log_dir, "checkpoints")
