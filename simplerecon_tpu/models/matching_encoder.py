@@ -32,7 +32,11 @@ def _blur_pool_4tap(x_bhwc: jnp.ndarray) -> jnp.ndarray:
     """Anti-aliased stride-2 downsample with the binomial [1,3,3,1] filter.
 
     Matches antialiased_cnns.BlurPool(filt_size=4): ReflectionPad (1,2,1,2)
-    then depthwise conv stride 2.
+    then depthwise conv stride 2. This is the SHIPPED formulation
+    (`pool_impl="reference"`): despite micro-benching at only ~150 GB/s
+    in isolation, it beats the separable slice form `_max_blur_pool` by
+    0.7 ms in the full encoder (scripts/ab_stem.py A/B) because XLA
+    fuses it with its neighbors.
     """
     k1 = np.array([1.0, 3.0, 3.0, 1.0], dtype=np.float32)
     k = np.outer(k1, k1)
@@ -44,6 +48,99 @@ def _blur_pool_4tap(x_bhwc: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.conv_general_dilated(
         xp, kern, window_strides=(2, 2), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+def _max_blur_pool(x_bhwc: jnp.ndarray) -> jnp.ndarray:
+    """Fused anti-aliased max-pool: dense 2x2/1 max + BlurPool(4-tap)/2.
+
+    Mathematically identical to `nn.max_pool(x, (2,2), (1,1), VALID)`
+    followed by `_blur_pool_4tap` (the outer-product [1,3,3,1] kernel is
+    exactly separable; weights 1/8 and 3/8 are exact in bf16), but
+    formulated as elementwise max of four shifted slices + two 4-tap
+    strided FMA passes.
+
+    NEGATIVE RESULT (round 5, kept for the record): in isolation the
+    reference pair micro-benches badly (reduce_window 0.89 ms @ 113
+    GB/s + depthwise blur 0.67 ms @ 151 GB/s on 192x256x64 x8), but in
+    the full encoder this slice form is 0.7 ms SLOWER (same-process
+    interleaved A/B, scripts/ab_stem.py) — XLA fuses the reference pool chain
+    with its neighbors, and the strided slices here defeat that.
+    `pool_impl="reference"` is the shipped default.
+    """
+    # dense 2x2 stride-1 max
+    m = jnp.maximum(
+        jnp.maximum(x_bhwc[:, :-1, :-1], x_bhwc[:, 1:, :-1]),
+        jnp.maximum(x_bhwc[:, :-1, 1:], x_bhwc[:, 1:, 1:]))
+    # ReflectionPad (1,2),(1,2) like antialiased_cnns.BlurPool(filt=4)
+    mp = jnp.pad(m, [(0, 0), (1, 2), (1, 2), (0, 0)], mode="reflect")
+    taps = (1.0 / 8.0, 3.0 / 8.0, 3.0 / 8.0, 1.0 / 8.0)
+    w_out = (mp.shape[2] - 4) // 2 + 1
+    t = sum(jnp.asarray(k, mp.dtype)
+            * mp[:, :, j: j + 2 * w_out - 1: 2, :]
+            for j, k in enumerate(taps))
+    h_out = (mp.shape[1] - 4) // 2 + 1
+    return sum(jnp.asarray(k, t.dtype)
+               * t[:, i: i + 2 * h_out - 1: 2, :, :]
+               for i, k in enumerate(taps))
+
+
+class _Conv7x7s2(nn.Module):
+    """The ResNet stem 7x7/stride-2 conv, evaluated in space-to-depth
+    form on the MXU.
+
+    The parameter is the standard `kernel` of shape (7, 7, cin, features)
+    (checkpoint-converter and torch-parity mapping unchanged); at apply
+    time it is zero-padded to 8x8 at the FRONT and regrouped to a 4x4
+    conv over 2x2-packed input pixels — exactly the same sum, since with
+    u = 2i + a - 1 every original tap (u, v) maps to packed tap
+    (i, j, a, b) and the one missing pair (a=0, i=0 -> u=-1) hits the
+    zero pad.
+
+    NEGATIVE RESULT (round 5, kept for the record): the packed conv
+    alone is 10x faster in isolation (0.09 vs 0.93 ms at (8,384,512,3);
+    4% -> 26% MXU), but the input packing (either a minor-dim-3
+    transpose or four strided slices) costs more than the conv saves in
+    the full encoder: same-process A/B (scripts/ab_stem.py) read direct 2.16 ms
+    vs s2d 3.03-3.93 ms end-to-end. `impl="direct"` is the shipped
+    default; the s2d form is kept for future hardware/compilers.
+    """
+    features: int = 64
+    impl: str = "s2d"  # "s2d" (packed 4x4) | "direct" (plain 7x7/2)
+    pack: str = "slices"  # s2d input packing: "slices" | "transpose"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x_bhw3: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, cin = x_bhw3.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, cin, self.features))
+        dtype = self.dtype or x_bhw3.dtype
+        x = x_bhw3.astype(dtype)
+        if self.impl == "direct" or h % 2 or w % 2:
+            # direct form (also the odd-spatial-dims fallback)
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(dtype), window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        kp = jnp.pad(kernel, [(1, 0), (1, 0), (0, 0), (0, 0)])
+        # (8,8,cin,f) -> (i,a,j,b,cin,f) -> (i,j,a,b,cin,f) -> 4x4 conv
+        kp = kp.reshape(4, 2, 4, 2, cin, self.features)
+        kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * cin, self.features)
+        if self.pack == "transpose":
+            xs = x.reshape(n, h // 2, 2, w // 2, 2, cin)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+                n, h // 2, w // 2, 4 * cin)
+        else:
+            # channel order (a, b, cin): row-major over the 2x2 block
+            xs = jnp.concatenate(
+                [x[:, a::2, b::2, :] for a in (0, 1) for b in (0, 1)],
+                axis=-1)
+        return jax.lax.conv_general_dilated(
+            xs, kp.astype(dtype), window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _make_norm(norm: str, train: bool, dtype):
@@ -92,20 +189,33 @@ class ResnetMatchingEncoder(nn.Module):
     """
     num_ch_out: int = 16
     norm: str = "batch"
+    # Stem-implementation knobs. The defaults are the DIRECT forms: a
+    # same-process interleaved A/B on v5e (scripts/ab_stem.py, round 5) read
+    # direct+reference-pool 2.16 ms vs s2d/fused rewrites 2.87-3.93 ms
+    # for the full encoder at (8, 384, 512, 3) — the isolated micro-
+    # bench wins (7x7/2 at 4% MXU vs 26% packed; reduce_window at 113
+    # GB/s) do NOT compose in context, where XLA fuses the pool chain
+    # into its neighbors. Variants kept for A/B reproducibility.
+    stem_impl: str = "direct"    # "direct" | "s2d" (_Conv7x7s2 knob)
+    stem_pack: str = "slices"    # s2d packing: "slices" | "transpose"
+    pool_impl: str = "reference"  # "reference" | "fused"
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, image_bhw3: jnp.ndarray, train: bool = False,
                  stage_out: str | None = None) -> jnp.ndarray:
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1", dtype=self.dtype)(image_bhw3)
+        x = _Conv7x7s2(64, impl=self.stem_impl, pack=self.stem_pack,
+                       dtype=self.dtype, name="conv1")(image_bhw3)
         x = _make_norm(self.norm, train, self.dtype)(x, "bn1")
         x = jax.nn.relu(x)
         if stage_out == "conv1":
             return x
         # anti-aliased max-pool: dense 2x2/1 max then blur-pool stride 2
-        x = nn.max_pool(x, (2, 2), strides=(1, 1), padding="VALID")
-        x = _blur_pool_4tap(x)
+        if self.pool_impl == "reference":
+            x = _blur_pool_4tap(nn.max_pool(x, (2, 2), strides=(1, 1),
+                                            padding="VALID"))
+        else:
+            x = _max_blur_pool(x)
         if stage_out == "pool":
             return x
         x = _ResNetBasicBlock(64, norm=self.norm, dtype=self.dtype,

@@ -25,7 +25,10 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _two_point(make_chain, args, k1=2, k2=6, repeats=3):
+def _two_point(make_chain, args, k1=4, k2=36, repeats=5):
+    # long chains: the two-point difference divides relay timing jitter
+    # by (k2 - k1); round-5 found k2-k1=4 gave per-stage numbers whose
+    # sum exceeded the measured total forward by ~2x.
     c1 = jax.jit(make_chain(k1))
     c2 = jax.jit(make_chain(k2))
     float(c1(*args))
@@ -83,12 +86,18 @@ def main(backend: str = "pallas", batch: int = 1):
     cur_invK = cur[f"invK_s{opts.matching_scale}_b44"].astype(jnp.float32)
 
     def chain_over(fn, x0):
-        """make_chain factory: fn(x + token_perturbation) -> scalar."""
+        """make_chain factory: fn(maximum(x, token)) -> scalar.
+
+        maximum() rather than +: an additive token distributes through
+        the first (linear) conv and lets XLA hoist the loop-invariant
+        part out of the chain (CLAUDE.md harness rule)."""
         def make(kk):
             def chain(variables, x):
                 def body(i, token):
-                    xi = x + (token + i.astype(jnp.float32) * 0.01
-                              ).astype(x.dtype)
+                    xi = jnp.maximum(
+                        x, (token - jnp.float32(30.0)
+                            + i.astype(jnp.float32) * jnp.float32(1e-6)
+                            ).astype(x.dtype))
                     return fn(variables, xi)
                 return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
             return chain

@@ -142,15 +142,22 @@ def main():
             jnp.zeros((1,), f32)))
 
     def cv_loss(s):
+        # the SHIPPED training path: fwd AND bwd as banded Pallas
+        # kernels (cost_volume_custom_vjp="pallas_bwd", the default) —
+        # calling sweep_mlp_volume without custom_vjp would time the
+        # checkpointed-autodiff backward instead (687 ms vs the full
+        # 544 ms step at b16, round-5 measurement).
         vol = cv_ops.sweep_mlp_volume(
             s, cur, ex, src_K, invK, planes, penalty, loc, mlp,
-            compute_dtype=bf16)
+            compute_dtype=bf16, custom_vjp="pallas_bwd")
         return jnp.sum(vol.astype(f32))
 
     results["cv_sweep"] = _two_point(*_chain_grad(cv_loss, src))
 
     # ---- CVEncoder + decoder --------------------------------------
-    vol = jnp.asarray(rng.randn(b, dh, dw, d), bf16)
+    # the cost volume lives at the matching scale (1/4 res); the
+    # decoder's finest skip (feats[0]) and the depth outputs are at 1/2
+    vol = jnp.asarray(rng.randn(b, h // 4, w // 4, d), bf16)
     enc_ch = (24, 48, 64, 160, 256)
     feats = [jnp.asarray(rng.randn(b, h // s, w // s, ch), bf16)
              for s, ch in zip((2, 4, 8, 16, 32), enc_ch)]

@@ -182,6 +182,48 @@ class TestEncoders:
                                    np.asarray(eval_out), atol=0)
         assert eval_out.shape == (2, 8, 8, 8)
 
+    def test_stem_conv_space_to_depth_exact(self, rng):
+        """The space-to-depth form of the 7x7/2 stem conv must equal the
+        direct form (same kernel, zero pad 3) — the padded-regrouped
+        kernel covers every original tap exactly once."""
+        from simplerecon_tpu.models.matching_encoder import _Conv7x7s2
+        x = jnp.asarray(rng.randn(2, 32, 48, 3).astype(np.float32))
+        variables = None
+        for pack in ("slices", "transpose"):
+            conv = _Conv7x7s2(12, impl="s2d", pack=pack)
+            out, variables = conv.init_with_output(
+                jax.random.PRNGKey(0), x)
+            kernel = variables["params"]["kernel"]
+            assert kernel.shape == (7, 7, 3, 12)  # checkpoint mapping
+            direct = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            assert out.shape == direct.shape == (2, 16, 24, 12)
+            np.testing.assert_allclose(np.asarray(out),
+                                       np.asarray(direct),
+                                       rtol=1e-5, atol=1e-5)
+        # odd spatial dims take the direct-form fallback
+        conv = _Conv7x7s2(12, impl="s2d")
+        xo = jnp.asarray(rng.randn(1, 31, 47, 3).astype(np.float32))
+        out_odd = conv.apply(variables, xo)
+        assert out_odd.shape == (1, 16, 24, 12)
+
+    def test_max_blur_pool_matches_reference_pair(self, rng):
+        """_max_blur_pool (slice max + separable blur) must equal the
+        reference composition maxpool(2,2,s1) -> BlurPool(4-tap)/2."""
+        import flax.linen as nn_linen
+
+        from simplerecon_tpu.models.matching_encoder import (
+            _blur_pool_4tap, _max_blur_pool)
+        x = jnp.asarray(rng.randn(3, 34, 26, 5).astype(np.float32))
+        ref = _blur_pool_4tap(nn_linen.max_pool(
+            x, (2, 2), strides=(1, 1), padding="VALID"))
+        fused = _max_blur_pool(x)
+        assert fused.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_matching_encoder_batch_invariance(self, rng):
         """The torch reference needed a one-image-at-a-time workaround
         (test.py:16-25); ours must be batch-size invariant at inference."""
