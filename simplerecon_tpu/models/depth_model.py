@@ -59,6 +59,9 @@ class DepthModel(nn.Module):
     max_matching_depth: float = 5.0
     matching_feature_dims: int = 16
     matching_norm: str = "batch"  # "batch" | "group" (eval-lag ablation)
+    # stem pool: "reference" (unfused XLA) | "pallas" (fused VMEM kernel,
+    # ops/pallas_pool.py) | "fused" (separable slice form, kept for A/B)
+    matching_pool_impl: str = "reference"
     model_num_views: int = 8
     feature_volume_type: str = "mlp_feature_volume"
     matching_encoder_type: str = "resnet"  # "resnet" | "unet_encoder"
@@ -102,7 +105,8 @@ class DepthModel(nn.Module):
         else:
             self.matching_model = maybe_remat(ResnetMatchingEncoder, (2,))(
                 num_ch_out=self.matching_feature_dims,
-                norm=self.matching_norm, dtype=self.dtype,
+                norm=self.matching_norm,
+                pool_impl=self.matching_pool_impl, dtype=self.dtype,
                 name="matching_model")
         if self.feature_volume_type == "simple_cost_volume":
             self.cost_volume = DotProductCostVolume(
@@ -256,6 +260,8 @@ def build_depth_model(opts, dtype=None) -> DepthModel:
         max_matching_depth=opts.max_matching_depth,
         matching_feature_dims=opts.matching_feature_dims,
         matching_norm=getattr(opts, "matching_norm", "batch"),
+        matching_pool_impl=getattr(opts, "matching_pool_impl",
+                                   "reference"),
         model_num_views=opts.model_num_views,
         feature_volume_type=opts.feature_volume_type,
         matching_encoder_type=opts.matching_encoder_type,

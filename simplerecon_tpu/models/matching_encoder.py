@@ -198,7 +198,10 @@ class ResnetMatchingEncoder(nn.Module):
     # into its neighbors. Variants kept for A/B reproducibility.
     stem_impl: str = "direct"    # "direct" | "s2d" (_Conv7x7s2 knob)
     stem_pack: str = "slices"    # s2d packing: "slices" | "transpose"
-    pool_impl: str = "reference"  # "reference" | "fused"
+    # "pallas" = the fused max+blur Pallas kernel (ops/pallas_pool.py):
+    # one VMEM pass instead of the 3-stage XLA chain; falls back to the
+    # identical-semantics XLA form off-TPU / on unsupported shapes.
+    pool_impl: str = "reference"  # "reference" | "fused" | "pallas"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -211,7 +214,10 @@ class ResnetMatchingEncoder(nn.Module):
         if stage_out == "conv1":
             return x
         # anti-aliased max-pool: dense 2x2/1 max then blur-pool stride 2
-        if self.pool_impl == "reference":
+        if self.pool_impl == "pallas":
+            from simplerecon_tpu.ops.pallas_pool import max_blur_pool
+            x = max_blur_pool(x)
+        elif self.pool_impl == "reference":
             x = _blur_pool_4tap(nn.max_pool(x, (2, 2), strides=(1, 1),
                                             padding="VALID"))
         else:

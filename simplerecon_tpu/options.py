@@ -83,6 +83,11 @@ class Options:
     # "batch" (reference parity) | "group" (GroupNorm-8 stem: train==eval,
     # removes BN running-stat staleness; not checkpoint-compatible)
     matching_norm: str = "batch"
+    # stem anti-aliased pool: "reference" (unfused XLA chain) | "pallas"
+    # (fused VMEM kernel with hand-written VJP, ops/pallas_pool.py) |
+    # "fused" (separable slice form). Kernel and XLA paths are
+    # value-identical incl. tie-gradient routing (first-max wins).
+    matching_pool_impl: str = "reference"
     matching_scale: int = 1
     matching_num_depth_bins: int = 64
     min_matching_depth: float = 0.25
